@@ -1,0 +1,100 @@
+"""Benchmark: seconds per 2 s 720p clip (Yume-5B continuation segment).
+
+Measures the DiT denoise cost of one autoregressive continuation segment at
+the reference's production configuration (reference
+fastvideo/sample/sample_5b.py:920-1040): Wan2.2-TI2V-5B, 720p latent grid
+44×80 (stride 16), FramePack-packed 31-frame history (one decoded 121-frame
+first segment) + 8 new latent frames, 50 denoise steps, cond-only (no CFG).
+
+North star (BASELINE.md): < 60 s per 2 s 720p clip at 50 steps on v5p-8.
+``value`` is the measured single-chip wall time on this host's chip;
+``vs_baseline`` = (60 s target) / (v5p-8-extrapolated time), i.e. >1 means
+faster than the target. The extrapolation scales by peak-bf16 ratio
+(v5e 197 → v5p 459 TFLOP/s) and 8-way sharding; the raw single-chip number
+is in ``detail``.
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from yume_tpu.configs import ti2v_5b
+    from yume_tpu.models.dit import WanDiT
+
+    cfg = ti2v_5b()
+    dit = WanDiT(cfg.dit, dtype=jnp.bfloat16)
+
+    lfz = cfg.latent_frame_zero  # 8
+    f_hist = 31                  # 121-frame first segment → 31 latent frames
+    h_lat, w_lat = 44, 80        # 704×1280 / 16
+    steps = 50
+
+    def _init(k, x, t, c):
+        return dit.init(k, x, t, c, packed=True, latent_frame_zero=lfz)
+
+    shapes = jax.eval_shape(
+        _init, jax.random.PRNGKey(0),
+        jnp.zeros((1, f_hist + lfz, h_lat, w_lat, cfg.dit.in_dim), jnp.bfloat16),
+        jnp.zeros((1, f_hist + lfz)),
+        jnp.zeros((1, cfg.dit.text_len, cfg.dit.text_dim), jnp.bfloat16),
+    )
+    # random-ish bf16 params without a 20 GB fp32 init
+    key = jax.random.PRNGKey(0)
+    params = jax.tree_util.tree_map(
+        lambda s: (jax.random.normal(key, s.shape, jnp.bfloat16) * 0.02
+                   if s.size > 1 else jnp.zeros(s.shape, jnp.bfloat16)),
+        shapes,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (1, f_hist + lfz, h_lat, w_lat, cfg.dit.in_dim),
+                          jnp.bfloat16)
+    t = jnp.zeros((1, f_hist + lfz), jnp.float32).at[:, -lfz:].set(700.0)
+    ctx = jax.random.normal(jax.random.PRNGKey(2),
+                            (1, cfg.dit.text_len, cfg.dit.text_dim),
+                            jnp.bfloat16)
+
+    @jax.jit
+    def step(params, x, t, ctx):
+        return dit.apply(params, x, t, ctx, packed=True, latent_frame_zero=lfz)
+
+    # warmup / compile. NOTE: fetch a scalar each call — on relayed/remote
+    # PJRT backends block_until_ready alone does not force execution.
+    _ = float(step(params, x, t, ctx).sum())
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = float(step(params, x, t, ctx).sum())
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    clip_seconds = dt * steps
+    dev = str(jax.devices()[0])
+    is_v5e = "v5 lite" in dev or "v5e" in dev
+    scale = (197.0 / 459.0) / 8.0 if is_v5e else 1.0 / 8.0
+    v5p8_est = clip_seconds * scale
+    print(json.dumps({
+        "metric": "sec_per_2s_720p_clip_5B_50step_1chip",
+        "value": round(clip_seconds, 3),
+        "unit": "s",
+        "vs_baseline": round(60.0 / v5p8_est, 2),
+        "detail": {
+            "dit_step_ms": round(dt * 1000, 2),
+            "steps": steps,
+            "history_latent_frames": f_hist,
+            "v5p8_extrapolated_s": round(v5p8_est, 2),
+            "device": dev,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

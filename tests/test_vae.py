@@ -1,0 +1,101 @@
+"""Wan2.2 VAE: shape tests + golden parity against the torch reference.
+
+The parity tests import the reference vae2_2.py as an *oracle* (random
+torch-initialised weights, converted to flax), and compare our full-clip
+implementation against the reference's cached/streaming path — the only path
+the reference uses in production.
+"""
+
+import importlib.util
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import requires_reference
+from yume_tpu.configs import VAEConfig
+from yume_tpu.models.vae import WanVAE, patchify, unpatchify
+from yume_tpu.utils.checkpoint import convert_vae22_state_dict
+
+TINY = VAEConfig(
+    z_dim=8, base_dim=16, dim_mult=(1, 2, 4, 4), num_res_blocks=2,
+    temporal_downsample=(False, True, True), stride=(4, 16, 16), patchify=2,
+)
+
+
+def _load_reference_vae():
+    spec = importlib.util.spec_from_file_location(
+        "ref_vae2_2", "/root/reference/wan23/modules/vae2_2.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_vae2_2"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_patchify_roundtrip(rng_np):
+    x = jnp.asarray(rng_np.standard_normal((1, 2, 8, 8, 3)).astype(np.float32))
+    y = patchify(x, 2)
+    assert y.shape == (1, 2, 4, 4, 12)
+    np.testing.assert_allclose(unpatchify(y, 2), x)
+
+
+def test_encode_decode_shapes(rng_np):
+    model = WanVAE(TINY, dec_dim=24)
+    video = jnp.asarray(rng_np.standard_normal((1, 9, 64, 64, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), video)
+    recon, z = model.apply(params, video)
+    # stride (4, 16, 16): T 9→3, H/W 64→4
+    assert z.shape == (1, 3, 4, 4, 8)
+    assert recon.shape == video.shape
+
+
+@requires_reference
+def test_encoder_matches_reference(rng_np):
+    import torch
+
+    ref = _load_reference_vae()
+    torch.manual_seed(0)
+    tmodel = ref.WanVAE_(
+        dim=16, dec_dim=24, z_dim=8, dim_mult=[1, 2, 4, 4], num_res_blocks=2,
+        attn_scales=[], temperal_downsample=[False, True, True],
+    ).eval()
+
+    params = convert_vae22_state_dict(tmodel.state_dict())
+    model = WanVAE(TINY, dec_dim=24)
+
+    x = rng_np.standard_normal((1, 3, 9, 64, 64)).astype(np.float32)  # B C T H W
+    with torch.no_grad():
+        want = tmodel.encode(torch.from_numpy(x), scale=[0.0, 1.0]).numpy()
+
+    x_j = jnp.asarray(x.transpose(0, 2, 3, 4, 1))  # → B T H W C
+    got = model.apply(params, x_j, method=model.encode)
+    got_t = np.asarray(got).transpose(0, 4, 1, 2, 3)
+    np.testing.assert_allclose(got_t, want, atol=2e-4, rtol=2e-3)
+
+
+@requires_reference
+def test_decoder_matches_reference(rng_np):
+    import torch
+
+    ref = _load_reference_vae()
+    torch.manual_seed(1)
+    tmodel = ref.WanVAE_(
+        dim=16, dec_dim=24, z_dim=8, dim_mult=[1, 2, 4, 4], num_res_blocks=2,
+        attn_scales=[], temperal_downsample=[False, True, True],
+    ).eval()
+
+    params = convert_vae22_state_dict(tmodel.state_dict())
+    model = WanVAE(TINY, dec_dim=24)
+
+    z = rng_np.standard_normal((1, 8, 3, 4, 4)).astype(np.float32)  # B C T H W
+    with torch.no_grad():
+        want = tmodel.decode(torch.from_numpy(z), scale=[0.0, 1.0]).numpy()
+
+    z_j = jnp.asarray(z.transpose(0, 2, 3, 4, 1))
+    got = model.apply(params, z_j, method=model.decode)
+    got_t = np.asarray(got).transpose(0, 4, 1, 2, 3)
+    assert got_t.shape == want.shape
+    np.testing.assert_allclose(got_t, np.clip(want, -1, 1), atol=2e-4, rtol=2e-3)

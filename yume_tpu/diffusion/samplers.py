@@ -1,0 +1,226 @@
+"""Sampling loops: jitted `lax.scan` Euler flow integration, SDE churn,
+time-travel (TTS) — the TPU-native form of the reference's Python step loops
+(fastvideo/sample/sample_5b.py:960-1040, sample.py:769-790,
+sample_tts.py:690-854).
+
+All samplers take a ``denoise_fn(latent, t_frame) -> velocity`` closure (the
+DiT with conditioning bound) so they compose with jit/shard_map; every loop
+is a single `lax.scan` over the sigma ladder → one compilation, no
+host↔device sync per step.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.masks import per_frame_timesteps
+from .transport import Transport
+
+DenoiseFn = Callable[[jax.Array, jax.Array], jax.Array]
+
+
+def _sigma_pairs(sigmas: np.ndarray) -> jnp.ndarray:
+    """[(σ_i, σ_{i+1})] pairs for a ladder ending in 0."""
+    s = jnp.asarray(sigmas, jnp.float32)
+    return jnp.stack([s[:-1], s[1:]], axis=1)
+
+
+def euler_sample(
+    denoise_fn: DenoiseFn,
+    noise: jax.Array,
+    sigmas: np.ndarray,
+) -> jax.Array:
+    """Plain Euler flow integration over all frames (5B t2v first segment,
+    reference sample_5b.py:1014-1036: scalar t, flag=False, no CFG).
+
+    noise: [B, F, H, W, C]; sigmas: [steps+1] descending to 0.
+    """
+    b, f = noise.shape[:2]
+
+    def step(latent, sig):
+        s_i, s_n = sig[0], sig[1]
+        t_frame = jnp.full((b, f), s_i * 1000.0)
+        v = denoise_fn(latent, t_frame)
+        return latent + (s_n - s_i) * v, None
+
+    latent, _ = jax.lax.scan(step, noise, _sigma_pairs(sigmas))
+    return latent
+
+
+def euler_sample_segment(
+    denoise_fn: DenoiseFn,
+    latent: jax.Array,
+    sigmas: np.ndarray,
+    latent_frame_zero: int,
+    *,
+    history_t: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Tail-only Euler update with frozen history (5B i2v / autoregressive
+    segments, reference sample_5b.py:960-1040): per-frame timesteps — history
+    frames at their mask2 values (0 at inference), tail at σ_i·1000 — and
+    only the trailing ``latent_frame_zero`` frames integrate.
+
+    latent: [B, F, H, W, C] = [history | tail noise].
+    denoise_fn returns the velocity for the tail frames (packed DiT) or all
+    frames (unpacked); only its trailing frames are used.
+    """
+    b, f = latent.shape[:2]
+    f_hist = f - latent_frame_zero
+    if history_t is None:
+        history_t = jnp.zeros((b, f_hist), jnp.float32)
+
+    def step(latent, sig):
+        s_i, s_n = sig[0], sig[1]
+        t_frame = jnp.concatenate(
+            [history_t * 1000.0,
+             jnp.full((b, latent_frame_zero), s_i * 1000.0)], axis=1)
+        v = denoise_fn(latent, t_frame)
+        v_tail = v[:, -latent_frame_zero:]
+        tail = latent[:, -latent_frame_zero:] + (s_n - s_i) * v_tail
+        return jnp.concatenate([latent[:, :f_hist], tail], axis=1), None
+
+    latent, _ = jax.lax.scan(step, latent, _sigma_pairs(sigmas))
+    return latent
+
+
+def cfg_euler_sample_segment(
+    denoise_fn: Callable[[jax.Array, jax.Array, jax.Array], jax.Array],
+    latent: jax.Array,
+    noise: jax.Array,
+    ctx: jax.Array,
+    ctx_null: jax.Array,
+    sigmas: np.ndarray,
+    latent_frame_zero: int,
+    guide_scale: float,
+) -> jax.Array:
+    """14B-style CFG Euler with history re-noising (reference
+    fastvideo/sample/sample.py:769-790): two DiT calls per step
+    (cond/uncond), tail Euler update, history prefix re-noised to the next
+    sigma: prefix ← σ_{n}·noise + (1−σ_{n})·clean_history.
+
+    ``denoise_fn(latent, t_frame, ctx)``; ``latent`` enters at σ=1 (tail is
+    noise, history already re-noised at σ_0=1 by the caller or here).
+    """
+    b, f = latent.shape[:2]
+    f_hist = f - latent_frame_zero
+    clean_history = latent[:, :f_hist]
+    # start: tail noise, history re-noised at sigma_0
+    s0 = float(sigmas[0])
+    hist0 = s0 * noise[:, :f_hist] + (1.0 - s0) * clean_history
+    latent = jnp.concatenate([hist0, noise[:, f_hist:]], axis=1)
+
+    def step(latent, sig):
+        s_i, s_n = sig[0], sig[1]
+        t_frame = jnp.full((b, f), s_i * 1000.0)
+        v_c = denoise_fn(latent, t_frame, ctx)
+        v_u = denoise_fn(latent, t_frame, ctx_null)
+        v = v_u + guide_scale * (v_c - v_u)
+        v_tail = v[:, -latent_frame_zero:]
+        tail = latent[:, -latent_frame_zero:] + (s_n - s_i) * v_tail
+        hist = s_n * noise[:, :f_hist] + (1.0 - s_n) * clean_history
+        return jnp.concatenate([hist, tail], axis=1), None
+
+    latent, _ = jax.lax.scan(step, latent, _sigma_pairs(sigmas))
+    return latent
+
+
+def sde_euler_sample_segment(
+    denoise_fn: DenoiseFn,
+    latent: jax.Array,
+    sigmas: np.ndarray,
+    latent_frame_zero: int,
+    rng: jax.Array,
+    *,
+    eta: float = 0.3,
+    history_t: Optional[jax.Array] = None,
+) -> jax.Array:
+    """SDE churn sampling (TTS; reference fastvideo/sample/sample_tts.py:
+    726-744): after each Euler tail step, add an Euler–Maruyama correction
+    from the score estimate: x ← x + η²·σ·score·Δt + η·√(2Δt·σ)·ε.
+    """
+    b, f = latent.shape[:2]
+    f_hist = f - latent_frame_zero
+    if history_t is None:
+        history_t = jnp.zeros((b, f_hist), jnp.float32)
+
+    def step(carry, sig):
+        latent, rng = carry
+        rng, eps_rng = jax.random.split(rng)
+        s_i, s_n = sig[0], sig[1]
+        t_frame = jnp.concatenate(
+            [history_t * 1000.0,
+             jnp.full((b, latent_frame_zero), s_i * 1000.0)], axis=1)
+        v = denoise_fn(latent, t_frame)
+        v_tail = v[:, -latent_frame_zero:]
+        x_tail = latent[:, -latent_frame_zero:]
+        dt = s_i - s_n
+        # deterministic Euler step
+        tail = x_tail - dt * v_tail
+        # stochastic churn from score (velocity → score on reverse path)
+        score = Transport.score_from_velocity(
+            v_tail, x_tail, jnp.full((b,), s_i))
+        noise = jax.random.normal(eps_rng, x_tail.shape, x_tail.dtype)
+        tail = tail + (eta ** 2) * s_i * score * dt \
+            + eta * jnp.sqrt(2.0 * dt * s_i) * noise
+        out = jnp.concatenate([latent[:, :f_hist], tail], axis=1)
+        return (out, rng), None
+
+    (latent, _), _ = jax.lax.scan(step, (latent, rng), _sigma_pairs(sigmas))
+    return latent
+
+
+def time_travel_sample_segment(
+    denoise_fn: DenoiseFn,
+    latent: jax.Array,
+    sigmas: np.ndarray,
+    latent_frame_zero: int,
+    *,
+    interval: int = 2,
+    travel_steps: int = 1,
+    history_t: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Time-travel (lookahead) sampling (TTS; reference
+    fastvideo/sample/sample_tts.py:690-854): every ``interval`` steps, roll
+    the ODE forward ``travel_steps`` extra steps, then reuse the lookahead
+    velocity for the current step — a cheap second-order correction.
+    """
+    b, f = latent.shape[:2]
+    f_hist = f - latent_frame_zero
+    if history_t is None:
+        history_t = jnp.zeros((b, f_hist), jnp.float32)
+    sig = np.asarray(sigmas, np.float32)
+    n_steps = len(sig) - 1
+
+    def t_frame_at(s_i):
+        return jnp.concatenate(
+            [history_t * 1000.0,
+             jnp.full((b, latent_frame_zero), s_i * 1000.0)], axis=1)
+
+    def euler_tail(latent, s_i, s_n, v=None):
+        if v is None:
+            v = denoise_fn(latent, t_frame_at(s_i))
+        tail = latent[:, -latent_frame_zero:] + (s_n - s_i) * v[:, -latent_frame_zero:]
+        return jnp.concatenate([latent[:, :f_hist], tail], axis=1), v
+
+    # static unrolled outer loop (steps are few at inference; keeps the
+    # lookahead control flow compile-time static)
+    i = 0
+    while i < n_steps:
+        if interval > 0 and i % interval == 0 and i + 1 < n_steps:
+            # lookahead: step i, then travel forward, average velocities
+            x1, v0 = euler_tail(latent, sig[i], sig[i + 1])
+            xt = x1
+            for j in range(i + 1, min(i + 1 + travel_steps, n_steps)):
+                xt, _ = euler_tail(xt, sig[j], sig[j + 1])
+            v_look = denoise_fn(
+                xt, t_frame_at(sig[min(i + 1 + travel_steps, n_steps)]))
+            v_avg = 0.5 * (v0 + v_look)
+            latent, _ = euler_tail(latent, sig[i], sig[i + 1], v=v_avg)
+        else:
+            latent, _ = euler_tail(latent, sig[i], sig[i + 1])
+        i += 1
+    return latent

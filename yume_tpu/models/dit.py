@@ -1,0 +1,677 @@
+"""Wan DiT backbone (5B ti2v / 14B i2v variants) in flax.linen.
+
+TPU-native re-design of the reference WanModel
+(wan23/modules/model.py:369-916 for 5B, wan/modules/model.py:554-1038 for
+14B). Key departures from the CUDA/torch reference, chosen for XLA:
+
+* **Compact per-frame timestep modulation.** The reference materialises the
+  AdaLN modulation tensor e0 at [B, L, 6, dim] for per-token timesteps
+  (wan23/modules/model.py:801-812) — ~3 GB fp32 at 720p. Timesteps are
+  constant within a latent frame, so we compute e0 only for the K distinct
+  values ([B, K, 6, dim], K ≤ #frames+1) and carry a per-token index map
+  [B, L]; blocks gather transient [B, L, dim] slices that XLA fuses into the
+  surrounding elementwise ops. Exactly equal math, O(L·dim) live memory.
+
+* **Static FramePack plans.** The reference's 6 history-bucket regimes with
+  data-dependent shapes (wan23/modules/model.py:588-741) become a host-side
+  :func:`framepack_plan` producing a static chunk schedule per history
+  length; one jit specialisation per bucket (the bucket is known on the host
+  before each segment).
+
+* **Channels-last [B, F, H, W, C] video layout** (TPU conv + reshape
+  friendly), tokens [B, L, D].
+
+* **fp32 islands**: normalisation, modulation and time/text embeddings run
+  in fp32 regardless of the compute dtype, mirroring the reference's
+  autocast(float32) blocks (wan23/modules/model.py:294-312, 784-812); the
+  matmul-heavy paths run in bf16 on the MXU.
+
+MVDT masked training (random_masking + mid-network side interpolater,
+reference wan23/modules/model.py:500-545, 839-853) is supported with a
+*static* keep length (host picks the ratio per step from a small discrete
+set, avoiding dynamic shapes under jit).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import DiTConfig
+from ..ops import rope as rope_lib
+from ..ops.attention import attention
+
+
+# ---------------------------------------------------------------------------
+# small layers
+# ---------------------------------------------------------------------------
+
+
+class RMSNorm(nn.Module):
+    """fp32 RMS norm with learned scale (reference WanRMSNorm,
+    wan23/modules/model.py:121-137)."""
+
+    dim: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (self.dim,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        n = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + self.eps)
+        return (n * w).astype(x.dtype)
+
+
+def _layer_norm(x, eps=1e-6):
+    """Non-affine fp32 LayerNorm returning fp32 (reference WanLayerNorm,
+    wan23/modules/model.py:140-150)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    return (xf - mu) * jax.lax.rsqrt(var + eps)
+
+
+class AffineLayerNorm(nn.Module):
+    """fp32 LayerNorm with affine params (norm3 when cross_attn_norm)."""
+
+    dim: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (self.dim,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return (_layer_norm(x, self.eps) * w + b).astype(x.dtype)
+
+
+def sinusoidal_embedding_1d(dim: int, position: jax.Array) -> jax.Array:
+    """[cos | sin] sinusoidal embedding (reference
+    wan23/modules/model.py:14-24; fp32 instead of fp64)."""
+    half = dim // 2
+    pos = position.astype(jnp.float32)
+    inv = 10000.0 ** (-jnp.arange(half, dtype=jnp.float32) / half)
+    ang = pos[..., None] * inv
+    return jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# timestep modulation (compact form)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Modulation:
+    """Compact AdaLN modulation: distinct-value tables + per-token index.
+
+    e:   [B, K, dim]      (time embedding, fp32)
+    e0:  [B, K, 6, dim]   (projected 6-way modulation, fp32)
+    idx: [B, L] int32 or None (None ⇒ K == 1, broadcast scalar timestep)
+    """
+
+    e: jax.Array
+    e0: jax.Array
+    idx: Optional[jax.Array]
+
+    def gather6(self, j: int, L: int) -> jax.Array:
+        """Per-token modulation row j as [B, L, dim] (or [B, 1, dim])."""
+        tab = self.e0[:, :, j, :]
+        if self.idx is None:
+            return tab  # [B, 1, dim]
+        return jnp.take_along_axis(tab, self.idx[:, :, None], axis=1)
+
+    def gather_e(self) -> jax.Array:
+        if self.idx is None:
+            return self.e
+        return jnp.take_along_axis(self.e, self.idx[:, :, None], axis=1)
+
+    def gathered(self, keep_idx: jax.Array) -> "Modulation":
+        """Restrict to kept tokens (MVDT masked branch)."""
+        if self.idx is None:
+            return self
+        return Modulation(self.e, self.e0, jnp.take_along_axis(self.idx, keep_idx, axis=1))
+
+
+# ---------------------------------------------------------------------------
+# attention blocks
+# ---------------------------------------------------------------------------
+
+
+class SelfAttention(nn.Module):
+    cfg: DiTConfig
+
+    @nn.compact
+    def __call__(self, x, rope_cos, rope_sin, attn_impl=None):
+        c = self.cfg
+        b, l, _ = x.shape
+        n, d = c.num_heads, c.head_dim
+        q = nn.Dense(c.dim, name="q", dtype=x.dtype)(x)
+        k = nn.Dense(c.dim, name="k", dtype=x.dtype)(x)
+        v = nn.Dense(c.dim, name="v", dtype=x.dtype)(x)
+        if c.qk_norm:
+            q = RMSNorm(c.dim, c.eps, name="norm_q")(q)
+            k = RMSNorm(c.dim, c.eps, name="norm_k")(k)
+        q = q.reshape(b, l, n, d)
+        k = k.reshape(b, l, n, d)
+        v = v.reshape(b, l, n, d)
+        q = rope_lib.apply_rope(q, rope_cos, rope_sin)
+        k = rope_lib.apply_rope(k, rope_cos, rope_sin)
+        o = attention(q, k, v, impl=attn_impl)
+        return nn.Dense(c.dim, name="o", dtype=x.dtype)(o.reshape(b, l, c.dim))
+
+
+class CrossAttention(nn.Module):
+    """Text cross-attention (reference WanCrossAttention,
+    wan23/modules/model.py:210-232)."""
+
+    cfg: DiTConfig
+
+    @nn.compact
+    def __call__(self, x, context, attn_impl=None):
+        c = self.cfg
+        b, l, _ = x.shape
+        n, d = c.num_heads, c.head_dim
+        q = nn.Dense(c.dim, name="q", dtype=x.dtype)(x)
+        k = nn.Dense(c.dim, name="k", dtype=x.dtype)(context)
+        v = nn.Dense(c.dim, name="v", dtype=x.dtype)(context)
+        if c.qk_norm:
+            q = RMSNorm(c.dim, c.eps, name="norm_q")(q)
+            k = RMSNorm(c.dim, c.eps, name="norm_k")(k)
+        q = q.reshape(b, l, n, d)
+        k = k.reshape(b, -1, n, d)
+        v = v.reshape(b, -1, n, d)
+        o = attention(q, k, v, impl=attn_impl)
+        return nn.Dense(c.dim, name="o", dtype=x.dtype)(o.reshape(b, l, c.dim))
+
+
+class I2VCrossAttention(nn.Module):
+    """14B image+text cross-attention: separate K/V projections for the 257
+    CLIP tokens, results summed (reference wan/modules/model.py:336-400)."""
+
+    cfg: DiTConfig
+
+    @nn.compact
+    def __call__(self, x, context, attn_impl=None):
+        c = self.cfg
+        b, l, _ = x.shape
+        n, d = c.num_heads, c.head_dim
+        ctx_img = context[:, : c.image_context_len]
+        ctx_txt = context[:, c.image_context_len:]
+        q = nn.Dense(c.dim, name="q", dtype=x.dtype)(x)
+        if c.qk_norm:
+            q = RMSNorm(c.dim, c.eps, name="norm_q")(q)
+        q = q.reshape(b, l, n, d)
+
+        k = nn.Dense(c.dim, name="k", dtype=x.dtype)(ctx_txt)
+        v = nn.Dense(c.dim, name="v", dtype=x.dtype)(ctx_txt)
+        if c.qk_norm:
+            k = RMSNorm(c.dim, c.eps, name="norm_k")(k)
+        k_img = nn.Dense(c.dim, name="k_img", dtype=x.dtype)(ctx_img)
+        v_img = nn.Dense(c.dim, name="v_img", dtype=x.dtype)(ctx_img)
+        if c.qk_norm:
+            k_img = RMSNorm(c.dim, c.eps, name="norm_k_img")(k_img)
+
+        o_txt = attention(q, k.reshape(b, -1, n, d), v.reshape(b, -1, n, d), impl=attn_impl)
+        o_img = attention(q, k_img.reshape(b, -1, n, d), v_img.reshape(b, -1, n, d), impl=attn_impl)
+        o = (o_txt + o_img).reshape(b, l, c.dim)
+        return nn.Dense(c.dim, name="o", dtype=x.dtype)(o)
+
+
+class DiTBlock(nn.Module):
+    """AdaLN-modulated self-attn + cross-attn + FFN block (reference
+    WanAttentionBlock, wan23/modules/model.py:235-316)."""
+
+    cfg: DiTConfig
+
+    @nn.compact
+    def __call__(self, x, mod: Modulation, context, rope_cos, rope_sin,
+                 attn_impl=None):
+        c = self.cfg
+        b, l, _ = x.shape
+        m = self.param(
+            "modulation",
+            lambda k, s: jax.random.normal(k, s, jnp.float32) / c.dim**0.5,
+            (1, 6, c.dim),
+        )
+
+        def e(j):
+            # fp32 (modulation_j + e0_j), shaped [B, L or 1, dim]
+            return m[:, j][:, None, :] + mod.gather6(j, l)
+
+        # self-attention
+        h = _layer_norm(x, c.eps) * (1.0 + e(1)) + e(0)
+        y = SelfAttention(c, name="self_attn")(h.astype(x.dtype), rope_cos, rope_sin, attn_impl)
+        x = (x.astype(jnp.float32) + y.astype(jnp.float32) * e(2)).astype(x.dtype)
+
+        # cross-attention (norm3 affine iff cross_attn_norm)
+        if c.cross_attn_norm:
+            h = AffineLayerNorm(c.dim, c.eps, name="norm3")(x)
+        else:
+            h = x
+        cross_cls = I2VCrossAttention if c.image_context_len else CrossAttention
+        x = x + cross_cls(c, name="cross_attn")(h, context, attn_impl)
+
+        # FFN
+        h = _layer_norm(x, c.eps) * (1.0 + e(4)) + e(3)
+        h = nn.Dense(c.ffn_dim, name="ffn_0", dtype=x.dtype)(h.astype(x.dtype))
+        h = nn.gelu(h, approximate=True)
+        y = nn.Dense(c.dim, name="ffn_2", dtype=x.dtype)(h)
+        x = (x.astype(jnp.float32) + y.astype(jnp.float32) * e(5)).astype(x.dtype)
+        return x
+
+
+class Head(nn.Module):
+    """Final modulated projection to patch outputs (reference
+    wan23/modules/model.py:319-348)."""
+
+    cfg: DiTConfig
+
+    @nn.compact
+    def __call__(self, x, mod: Modulation):
+        c = self.cfg
+        out = math.prod(c.patch_size) * c.out_dim
+        m = self.param(
+            "modulation",
+            lambda k, s: jax.random.normal(k, s, jnp.float32) / c.dim**0.5,
+            (1, 2, c.dim),
+        )
+        e = mod.gather_e()  # [B, L or 1, dim] fp32
+        e0 = m[:, 0][:, None, :] + e
+        e1 = m[:, 1][:, None, :] + e
+        h = _layer_norm(x, c.eps) * (1.0 + e1) + e0
+        return nn.Dense(out, name="head", dtype=jnp.float32,
+                        kernel_init=nn.initializers.zeros)(h)
+
+
+# ---------------------------------------------------------------------------
+# FramePack planning (host-side, static per history length)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class PackChunk:
+    start: int       # history frame range [start, stop)
+    stop: int
+    scale: int       # spatial compression: patch stride = patch*2*scale//2 ... (1,2,4,8,16 → conv 2s)
+    double_f: bool = False  # bucket-6 extra 2x_f pre-conv (reference model.py:696-698)
+
+
+def framepack_plan(f_hist: int) -> List[PackChunk]:
+    """Static chunk schedule for a history of ``f_hist`` latent frames.
+
+    Reproduces the 6 bucket regimes of reference
+    wan23/modules/model.py:599-718 / wan/modules/model.py:779-898:
+    progressively coarser spatial patching (1x, 2x, 4x, 8x, 16x, 16x+2x_f)
+    for progressively older frames, bounding total tokens.
+    """
+    assert f_hist >= 1
+    if f_hist <= 2 + 4:
+        if f_hist <= 2:
+            mid = [PackChunk(f_hist - 1, f_hist, 2)]
+        else:
+            mid = [PackChunk(1, f_hist - 1, 2)]
+        return [PackChunk(0, 1, 1), *mid, PackChunk(f_hist - 1, f_hist, 1)]
+    if f_hist <= 2 + 4 + 16:
+        if f_hist <= 6:
+            far = [PackChunk(f_hist - 5, f_hist - 4, 4)]
+        else:
+            far = [PackChunk(1, f_hist - 5, 4)]
+        return [
+            PackChunk(0, 1, 1), *far,
+            PackChunk(f_hist - 5, f_hist - 3, 2),
+            PackChunk(f_hist - 3, f_hist, 1),
+        ]
+    if f_hist <= 2 + 4 + 16 + 64:
+        if f_hist <= 22:
+            far = [PackChunk(f_hist - 21, f_hist - 20, 8)]
+        else:
+            far = [PackChunk(1, f_hist - 21, 8)]
+        return [
+            PackChunk(0, 1, 1), *far,
+            PackChunk(f_hist - 21, f_hist - 5, 4),
+            PackChunk(f_hist - 5, f_hist - 3, 2),
+            PackChunk(f_hist - 3, f_hist, 1),
+        ]
+    if f_hist <= 2 + 4 + 16 + 64 + 256:
+        if f_hist <= 86:
+            far = [PackChunk(f_hist - 85, f_hist - 84, 16)]
+        else:
+            far = [PackChunk(1, f_hist - 85, 16)]
+        return [
+            PackChunk(0, 1, 2), *far,
+            PackChunk(f_hist - 85, f_hist - 21, 8),
+            PackChunk(f_hist - 21, f_hist - 5, 4),
+            PackChunk(f_hist - 5, f_hist - 3, 2),
+            PackChunk(f_hist - 3, f_hist, 1),
+        ]
+    assert f_hist <= 2 + 4 + 16 + 64 + 256 + 1024, "history exceeds FramePack budget"
+    if f_hist <= 342:
+        far = [PackChunk(f_hist - 341, f_hist - 340, 16, double_f=True)]
+    else:
+        far = [PackChunk(1, f_hist - 341, 16, double_f=True)]
+    return [
+        PackChunk(0, 1, 2), *far,
+        PackChunk(f_hist - 341, f_hist - 85, 16),
+        PackChunk(f_hist - 85, f_hist - 21, 8),
+        PackChunk(f_hist - 21, f_hist - 5, 4),
+        PackChunk(f_hist - 5, f_hist - 3, 2),
+        PackChunk(f_hist - 3, f_hist, 1),
+    ]
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def packed_grids(
+    plan: Sequence[PackChunk], h_lat: int, w_lat: int, patch: Tuple[int, int, int]
+) -> List[Tuple[int, int, int]]:
+    """Per-chunk (F, H, W) token grids (post conv) for a FramePack plan."""
+    grids = []
+    for ch in plan:
+        stride = patch[1] * ch.scale * (4 if ch.double_f else 1)
+        grids.append((ch.stop - ch.start, _ceil_div(h_lat, stride), _ceil_div(w_lat, stride)))
+    return grids
+
+
+# ---------------------------------------------------------------------------
+# the model
+# ---------------------------------------------------------------------------
+
+
+class WanDiT(nn.Module):
+    """Wan diffusion transformer (both generations).
+
+    Call modes (mirroring reference wan23/modules/model.py:547-865):
+      * ``forward_unpacked`` — full-resolution tokens (flag=False path)
+      * ``forward_packed``   — FramePack history compression (flag=True path)
+    Both share ``_trunk``.
+    """
+
+    cfg: DiTConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        c = self.cfg
+
+        def conv(features, spatial):
+            return nn.Conv(
+                features,
+                kernel_size=(c.patch_size[0], spatial, spatial),
+                strides=(c.patch_size[0], spatial, spatial),
+                padding="VALID",
+                dtype=self.dtype,
+            )
+
+        p = c.patch_size[1]
+        self.patch_embedding = conv(c.dim, p)
+        if c.framepack:
+            self.patch_embedding_2x = conv(c.dim, 2 * p)
+            self.patch_embedding_4x = conv(c.dim, 4 * p)
+            self.patch_embedding_8x = conv(c.dim, 8 * p)
+            self.patch_embedding_16x = conv(c.dim, 16 * p)
+            self.patch_embedding_2x_f = conv(c.in_dim, 2 * p)
+
+        self.time_embedding_0 = nn.Dense(c.dim, dtype=jnp.float32)
+        self.time_embedding_2 = nn.Dense(c.dim, dtype=jnp.float32)
+        self.time_projection_1 = nn.Dense(6 * c.dim, dtype=jnp.float32)
+        self.text_embedding_0 = nn.Dense(c.dim, dtype=self.dtype)
+        self.text_embedding_2 = nn.Dense(c.dim, dtype=self.dtype)
+        if c.image_context_len:
+            self.img_emb_norm1 = nn.LayerNorm(dtype=jnp.float32)
+            self.img_emb_1 = nn.Dense(c.dim, dtype=self.dtype)
+            self.img_emb_3 = nn.Dense(c.dim, dtype=self.dtype)
+            self.img_emb_norm4 = nn.LayerNorm(dtype=jnp.float32)
+        self.blocks = [DiTBlock(c) for _ in range(c.num_layers)]
+        self.head = Head(c)
+        if c.mvdt:
+            self.sideblock = DiTBlock(c)
+            self.mask_token = self.param(
+                "mask_token", nn.initializers.zeros, (1, 1, c.dim), jnp.float32
+            )
+
+    def _embed_chunk(self, x, scale: int, double_f: bool):
+        """Patch-embed a chunk at a spatial compression scale.
+
+        scale 1 → base patch conv (stride p); scale s → conv ``patch_embedding_{s}x``
+        with stride p·s; double_f prepends the channel-preserving 2x_f conv
+        (reference wan23/modules/model.py:486-494, 602-718). Spatial dims are
+        zero-padded to stride multiples (reference `convpadd`, :918-931).
+        Returns tokens [B, F·H'·W', dim] and the token grid.
+        """
+        c = self.cfg
+        p = c.patch_size[1]
+        if double_f:
+            s = 4
+            pad_h = (-x.shape[2]) % s
+            pad_w = (-x.shape[3]) % s
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+            x = self.patch_embedding_2x_f(x)
+        stride = p * scale
+        pad_h = (-x.shape[2]) % stride
+        pad_w = (-x.shape[3]) % stride
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        convs = {1: self.patch_embedding}
+        if c.framepack:
+            convs.update({2: self.patch_embedding_2x, 4: self.patch_embedding_4x,
+                          8: self.patch_embedding_8x, 16: self.patch_embedding_16x})
+        x = convs[scale](x)
+        b, f, h, w, d = x.shape
+        return x.reshape(b, f * h * w, d), (f, h, w)
+
+    def _time_mod(self, t_values: jax.Array, idx: Optional[jax.Array]) -> Modulation:
+        """Compact modulation tables from distinct timestep values [B, K]."""
+        c = self.cfg
+        emb = sinusoidal_embedding_1d(c.freq_dim, t_values)  # fp32 [B,K,freq]
+        e = self.time_embedding_0(emb)
+        e = nn.silu(e)
+        e = self.time_embedding_2(e)
+        e0 = self.time_projection_1(nn.silu(e))
+        b, k = t_values.shape
+        return Modulation(e=e, e0=e0.reshape(b, k, 6, c.dim), idx=idx)
+
+    def _text_embed(self, context: jax.Array) -> jax.Array:
+        c = self.cfg
+        h = self.text_embedding_0(context.astype(self.dtype))
+        h = nn.gelu(h, approximate=True)
+        return self.text_embedding_2(h)
+
+    def _img_embed(self, clip_ctx: jax.Array) -> jax.Array:
+        """14B MLPProj for 257 CLIP tokens (reference wan/modules/model.py:506-528)."""
+        c = self.cfg
+        h = self.img_emb_norm1(clip_ctx.astype(jnp.float32))
+        h = self.img_emb_1(h.astype(self.dtype))
+        h = nn.gelu(h, approximate=True)
+        h = self.img_emb_3(h)
+        return self.img_emb_norm4(h.astype(jnp.float32)).astype(self.dtype)
+
+    def _context(self, context: jax.Array, clip_ctx: Optional[jax.Array]) -> jax.Array:
+        ctx = self._text_embed(context)
+        if self.cfg.image_context_len:
+            assert clip_ctx is not None, "i2v model needs CLIP context"
+            ctx = jnp.concatenate([self._img_embed(clip_ctx), ctx], axis=1)
+        return ctx
+
+    def _trunk(self, x, mod: Modulation, context, rope_cos, rope_sin, attn_impl,
+               mvdt: Optional[dict] = None):
+        """Run all blocks (+ optional MVDT side interpolation at midpoint)."""
+        c = self.cfg
+        mid = (c.num_layers + 1) // 2
+        for i in range(c.num_layers):
+            if mvdt is not None and i == mid - 1:
+                x = self._side_interpolate(x, mvdt, context, rope_cos, rope_sin, attn_impl)
+                mod = mvdt["mod_full"]
+                rope_cos, rope_sin = mvdt["rope_full"]
+            x = self.blocks[i](x, mod, context, rope_cos, rope_sin, attn_impl)
+        return x, mod
+
+    def _side_interpolate(self, x, mvdt, context, rope_cos, rope_sin, attn_impl):
+        """MVDT mid-network side interpolater (reference
+        wan23/modules/model.py:531-545): unshuffle kept tokens + mask tokens
+        to full length, run the side block, masked shortcut."""
+        c = self.cfg
+        mask_token = self.mask_token
+        ids_restore = mvdt["ids_restore"]  # [B, L_full]
+        mask = mvdt["mask"]  # [B, L_full] 1=removed
+        b, lk, d = x.shape
+        l_full = ids_restore.shape[1]
+        pad = jnp.broadcast_to(mask_token.astype(x.dtype), (b, l_full - lk, d))
+        x_ = jnp.concatenate([x, pad], axis=1)
+        x_full = jnp.take_along_axis(x_, ids_restore[:, :, None], axis=1)
+        x_before = x_full
+        y = self.sideblock(
+            x_full, mvdt["mod_full"], context, *mvdt["rope_full"], attn_impl
+        )
+        m = mask[:, :, None].astype(y.dtype)
+        return y * m + x_before * (1.0 - m)
+
+    # -- public call modes ---------------------------------------------------
+
+    def __call__(
+        self,
+        x: jax.Array,
+        t_frame: jax.Array,
+        context: jax.Array,
+        *,
+        packed: bool = False,
+        latent_frame_zero: int = 8,
+        clip_context: Optional[jax.Array] = None,
+        attn_impl: Optional[str] = None,
+        mvdt_rng: Optional[jax.Array] = None,
+        mvdt_keep: Optional[int] = None,
+    ) -> jax.Array:
+        """Denoise one batch of latent videos.
+
+        Args:
+            x: [B, F, H, W, C_in] latent video (channels-last).
+            t_frame: [B, F] per-latent-frame timesteps in model units
+                (0..1000); a scalar timestep is ``jnp.full((B, F), t)``.
+            context: [B, text_len, text_dim] T5 features.
+            packed: FramePack the history (all but the trailing
+                ``latent_frame_zero`` frames). flag=True path of the
+                reference; False = unpacked full-res tokens.
+            clip_context: [B, 257, 1280] CLIP features (i2v-14B only).
+            mvdt_rng/mvdt_keep: enable MVDT masked training with a static
+                number of kept tokens.
+
+        Returns:
+            [B, F_out, H, W, C_out] velocity prediction — only the trailing
+            ``latent_frame_zero`` frames when packed (the reference likewise
+            unpatchifies only tail tokens, wan23/modules/model.py:858-863).
+        """
+        if packed:
+            return self._forward_packed(
+                x, t_frame, context, latent_frame_zero, clip_context, attn_impl,
+                mvdt_rng, mvdt_keep,
+            )
+        return self._forward_unpacked(
+            x, t_frame, context, clip_context, attn_impl, mvdt_rng, mvdt_keep
+        )
+
+    def _forward_unpacked(self, x, t_frame, context, clip_context, attn_impl,
+                          mvdt_rng=None, mvdt_keep=None):
+        c = self.cfg
+        b, f, h, w, _ = x.shape
+        tokens, (gf, gh, gw) = self._embed_chunk(x.astype(self.dtype), 1, False)
+        l = tokens.shape[1]
+        tokens_per_frame = gh * gw
+        idx = jnp.reshape(jnp.tile(jnp.arange(f)[:, None], (1, tokens_per_frame)), (1, l))
+        idx = jnp.broadcast_to(idx, (b, l)).astype(jnp.int32)
+        mod = self._time_mod(t_frame, idx)
+
+        cos, sin = rope_lib.grid_rope(gf, gh, gw, c.head_dim, max_len=c.rope_max_len,
+                                      theta=c.rope_theta)
+        cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+        ctx = self._context(context, clip_context)
+
+        tokens, mod, mvdt, cos_k, sin_k = self._maybe_mask(
+            tokens, mod, cos, sin, mvdt_rng, mvdt_keep
+        )
+        out, mod_out = self._trunk(tokens, mod, ctx, cos_k, sin_k, attn_impl, mvdt)
+        out = self.head(out, mod_out)
+        return self._unpatchify(out, (gf, gh, gw))
+
+    def _forward_packed(self, x, t_frame, context, latent_frame_zero,
+                        clip_context, attn_impl, mvdt_rng=None, mvdt_keep=None):
+        c = self.cfg
+        b, f, h_lat, w_lat, _ = x.shape
+        f_hist = f - latent_frame_zero
+        assert f_hist >= 1, "packed mode requires at least one history frame"
+        plan = framepack_plan(f_hist)
+        xc = x.astype(self.dtype)
+
+        tok_parts, grids = [], []
+        for ch in plan:
+            toks, grid = self._embed_chunk(xc[:, ch.start:ch.stop], ch.scale, ch.double_f)
+            tok_parts.append(toks)
+            grids.append(grid)
+        # tail at full resolution
+        tail_toks, tail_grid = self._embed_chunk(xc[:, f_hist:], 1, False)
+        tok_parts.append(tail_toks)
+        grids.append(tail_grid)
+        tokens = jnp.concatenate(tok_parts, axis=1)
+        l_hist = tokens.shape[1] - tail_toks.shape[1]
+        l = tokens.shape[1]
+
+        # multi-resolution RoPE with cumulative compressed-frame offsets
+        cos, sin = rope_lib.framepack_rope(grids, c.head_dim, max_len=c.rope_max_len,
+                                           theta=c.rope_theta)
+        cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+
+        # two distinct timesteps: history (t of frame 0) and tail (t of last
+        # frame) — reference wan23/modules/model.py:730-737
+        t_vals = jnp.stack([t_frame[:, 0], t_frame[:, -1]], axis=1)  # [B, 2]
+        idx = (jnp.arange(l) >= l_hist).astype(jnp.int32)[None, :]
+        idx = jnp.broadcast_to(idx, (b, l))
+        mod = self._time_mod(t_vals, idx)
+
+        ctx = self._context(context, clip_context)
+        tokens, mod, mvdt, cos_k, sin_k = self._maybe_mask(
+            tokens, mod, cos, sin, mvdt_rng, mvdt_keep
+        )
+        out, mod_out = self._trunk(tokens, mod, ctx, cos_k, sin_k, attn_impl, mvdt)
+        out = self.head(out, mod_out)
+        return self._unpatchify(out[:, l_hist:], tail_grid)
+
+    def _maybe_mask(self, tokens, mod, cos, sin, mvdt_rng, mvdt_keep):
+        """MVDT random masking with static keep count (reference
+        random_masking, wan23/modules/model.py:500-528)."""
+        if mvdt_rng is None:
+            return tokens, mod, None, cos, sin
+        assert self.cfg.mvdt and mvdt_keep is not None
+        b, l, d = tokens.shape
+        noise = jax.random.uniform(mvdt_rng, (b, l))
+        ids_shuffle = jnp.argsort(noise, axis=1)
+        ids_restore = jnp.argsort(ids_shuffle, axis=1).astype(jnp.int32)
+        ids_keep = ids_shuffle[:, :mvdt_keep].astype(jnp.int32)
+        x_masked = jnp.take_along_axis(tokens, ids_keep[:, :, None], axis=1)
+        mask = jnp.ones((b, l), jnp.float32)
+        mask = mask.at[:, :mvdt_keep].set(0.0)
+        mask = jnp.take_along_axis(mask, ids_restore, axis=1)
+        # rope tables gathered at kept positions (equivalent to the
+        # reference's unshuffle→rope→regather dance, see module docstring)
+        cos_k = cos[ids_keep[0]] if cos.ndim == 2 else cos
+        sin_k = sin[ids_keep[0]]
+        mvdt = dict(
+            ids_restore=ids_restore,
+            ids_keep=ids_keep,
+            mask=mask,
+            mod_full=mod,
+            rope_full=(cos, sin),
+        )
+        return x_masked, mod.gathered(ids_keep), mvdt, cos_k, sin_k
+
+    def _unpatchify(self, x, grid):
+        """Tokens → video (reference wan23/modules/model.py:867-890)."""
+        c = self.cfg
+        f, h, w = grid
+        pt, ph, pw = c.patch_size
+        b = x.shape[0]
+        x = x.reshape(b, f, h, w, pt, ph, pw, c.out_dim)
+        x = jnp.einsum("bfhwpqrc->bfphqwrc", x)
+        return x.reshape(b, f * pt, h * ph, w * pw, c.out_dim)

@@ -1,0 +1,387 @@
+"""Wan2.2 causal 3D video VAE (encoder + decoder) in flax.linen.
+
+TPU-native re-implementation of reference wan23/modules/vae2_2.py. The
+reference streams chunks (1+4k pixel frames through the encoder, one latent
+frame at a time through the decoder) with per-conv feature caches; the
+*cached* path is the only one the reference ever uses for real work — the
+uncached path even skips the temporal resampling convs entirely
+(vae2_2.py:114-171). We therefore implement the **full-clip equivalents of
+the cached semantics** as single fused ops (better XLA fusion, no Python
+chunk loop), derived as:
+
+* ``CausalConv3d``: streaming with a 2-frame cache ≡ full-clip conv with 2
+  zero-padded leading frames (vae2_2.py:17-44, 216-239).
+* encoder ``downsample3d`` time conv (vae2_2.py:159-170): the first frame
+  passes through unchanged; the remaining output frames are a valid
+  stride-2 k3 conv whose windows start at frame 0:
+  out = [x₀, conv(x₀x₁x₂), conv(x₂x₃x₄), ...].
+* decoder ``upsample3d`` time conv (vae2_2.py:116-153): frame 0 passes
+  through un-doubled; frames t ≥ 1 are causally convolved over the sequence
+  with frame 0 **replaced by zero** (the reference's "Rep" cache marker
+  zero-pads instead of using frame 0), then channel-split into 2× frames:
+  out = [u₀] ++ interleave(split2(conv_causal([0, u₁, u₂, ...])[1:])).
+
+A chunked/tiled streaming decode for long videos is provided separately in
+pipelines (same math by construction).
+
+Layout: channels-last [B, T, H, W, C].
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import VAEConfig
+
+# Wan2.2 48-channel latent normalisation (reference wan23/modules/vae2_2.py:925-1033)
+WAN22_LATENT_MEAN = np.array([
+    -0.2289, -0.0052, -0.1323, -0.2339, -0.2799, 0.0174, 0.1838, 0.1557,
+    -0.1382, 0.0542, 0.2813, 0.0891, 0.1570, -0.0098, 0.0375, -0.1825,
+    -0.2246, -0.1207, -0.0698, 0.5109, 0.2665, -0.2108, -0.2158, 0.2502,
+    -0.2055, -0.0322, 0.1109, 0.1567, -0.0729, 0.0899, -0.2799, -0.1230,
+    -0.0313, -0.1649, 0.0117, 0.0723, -0.2839, -0.2083, -0.0520, 0.3748,
+    0.0152, 0.1957, 0.1433, -0.2944, 0.3573, -0.0548, -0.1681, -0.0667,
+], np.float32)
+WAN22_LATENT_STD = np.array([
+    0.4765, 1.0364, 0.4514, 1.1677, 0.5313, 0.4990, 0.4818, 0.5013,
+    0.8158, 1.0344, 0.5894, 1.0901, 0.6885, 0.6165, 0.8454, 0.4978,
+    0.5759, 0.3523, 0.7135, 0.6804, 0.5833, 1.4146, 0.8986, 0.5659,
+    0.7069, 0.5338, 0.4889, 0.4917, 0.4069, 0.4999, 0.6866, 0.4093,
+    0.5709, 0.6065, 0.6415, 0.4944, 0.5726, 1.2042, 0.5458, 1.6887,
+    0.3971, 1.0600, 0.3943, 0.5537, 0.5444, 0.4089, 0.7468, 0.7744,
+], np.float32)
+
+
+class CausalConv3d(nn.Module):
+    """3D conv, causal in time (2·pad_t zeros prepended), SAME in space."""
+
+    features: int
+    kernel: Tuple[int, int, int] = (3, 3, 3)
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    time_pad: int | None = None  # default: 2 * (kt // 2)
+
+    @nn.compact
+    def __call__(self, x):
+        kt, kh, kw = self.kernel
+        tp = 2 * (kt // 2) if self.time_pad is None else self.time_pad
+        pad = [(tp, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)]
+        return nn.Conv(
+            self.features, self.kernel, strides=self.strides, padding=pad,
+            name="conv", dtype=x.dtype,
+        )(x)
+
+
+class ChannelRMSNorm(nn.Module):
+    """L2-normalise over channels, scale by sqrt(C)·gamma (reference
+    RMS_norm, vae2_2.py:47-61; images=False has per-channel gamma)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.param("gamma", nn.initializers.ones, (self.dim,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        n = xf * jax.lax.rsqrt(jnp.sum(xf * xf, axis=-1, keepdims=True) + 1e-12)
+        return (n * (self.dim ** 0.5) * g).astype(x.dtype)
+
+
+class ResBlock(nn.Module):
+    """RMSNorm → SiLU → causal conv ×2 with conv shortcut (reference
+    ResidualBlock, vae2_2.py:195-239)."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = ChannelRMSNorm(self.in_dim, name="norm1")(x)
+        h = nn.silu(h)
+        h = CausalConv3d(self.out_dim, name="conv1")(h)
+        h = ChannelRMSNorm(self.out_dim, name="norm2")(h)
+        h = nn.silu(h)
+        h = CausalConv3d(self.out_dim, name="conv2")(h)
+        if self.in_dim != self.out_dim:
+            x = CausalConv3d(self.out_dim, kernel=(1, 1, 1), name="shortcut")(x)
+        return x + h
+
+
+class SpatialAttention(nn.Module):
+    """Single-head per-frame self-attention (reference AttentionBlock,
+    vae2_2.py:242-283)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, h, w, c = x.shape
+        idty = x
+        y = ChannelRMSNorm(self.dim, name="norm")(x)
+        qkv = nn.Dense(3 * c, name="to_qkv", dtype=x.dtype)(y)
+        q, k, v = jnp.split(qkv.reshape(b * t, h * w, 3 * c), 3, axis=-1)
+        att = jax.nn.softmax(
+            jnp.einsum("bqc,bkc->bqk", q.astype(jnp.float32), k.astype(jnp.float32))
+            * (c ** -0.5),
+            axis=-1,
+        )
+        y = jnp.einsum("bqk,bkc->bqc", att, v.astype(jnp.float32)).astype(x.dtype)
+        y = nn.Dense(c, name="proj", dtype=x.dtype,
+                     kernel_init=nn.initializers.zeros)(y)
+        return idty + y.reshape(b, t, h, w, c)
+
+
+def patchify(x: jax.Array, p: int) -> jax.Array:
+    """Spatial p×p pixel-unshuffle into channels, channel order matching the
+    reference einops pattern 'b c (h q) (w r) -> b (c r q) h w'
+    (vae2_2.py:286-302) translated to channels-last."""
+    if p == 1:
+        return x
+    b, t, h, w, c = x.shape
+    x = x.reshape(b, t, h // p, p, w // p, p, c)
+    # target channel index = c*(p*p) ordered as (c, r, q): c-major, then r (w), then q (h)
+    x = x.transpose(0, 1, 2, 4, 6, 5, 3)  # b t h' w' c r q
+    return x.reshape(b, t, h // p, w // p, c * p * p)
+
+
+def unpatchify(x: jax.Array, p: int) -> jax.Array:
+    if p == 1:
+        return x
+    b, t, h, w, cpp = x.shape
+    c = cpp // (p * p)
+    x = x.reshape(b, t, h, w, c, p, p)  # c r q
+    x = x.transpose(0, 1, 2, 6, 3, 5, 4)  # b t h q w r c
+    return x.reshape(b, t, h * p, w * p, c)
+
+
+def avg_down3d(x, out_ch: int, ft: int, fs: int):
+    """Space-time average-pool shortcut (reference AvgDown3D,
+    vae2_2.py:322-373): front-pad T to a multiple of ft, fold
+    (ft, fs, fs) into channels, group-mean down to out_ch."""
+    b, t, h, w, c = x.shape
+    pad_t = (-t) % ft
+    if pad_t:
+        x = jnp.pad(x, ((0, 0), (pad_t, 0), (0, 0), (0, 0), (0, 0)))
+        t += pad_t
+    x = x.reshape(b, t // ft, ft, h // fs, fs, w // fs, fs, c)
+    # channel order (c, ft, fs_h, fs_w) matching torch permute(0,1,3,5,7,2,4,6)
+    x = x.transpose(0, 1, 3, 5, 7, 2, 4, 6)
+    x = x.reshape(b, t // ft, h // fs, w // fs, c * ft * fs * fs)
+    group = c * ft * fs * fs // out_ch
+    x = x.reshape(*x.shape[:4], out_ch, group)
+    return jnp.mean(x, axis=-1)
+
+
+def dup_up3d(x, out_ch: int, ft: int, fs: int, first_chunk: bool):
+    """Repeat-upsample shortcut (reference DupUp3D, vae2_2.py:376-418)."""
+    b, t, h, w, c = x.shape
+    repeats = out_ch * ft * fs * fs // c
+    x = jnp.repeat(x, repeats, axis=-1)  # channel-major repeat_interleave
+    x = x.reshape(b, t, h, w, out_ch, ft, fs, fs)
+    # torch: view(B, out, ft, fs, fs, T, H, W) permute(0,1,5,2,6,3,7,4)
+    x = x.transpose(0, 1, 5, 2, 6, 3, 7, 4)  # b t ft h fs w fs out
+    x = x.reshape(b, t * ft, h * fs, w * fs, out_ch)
+    if first_chunk and ft > 1:
+        x = x[:, ft - 1:]
+    return x
+
+
+class Downsample(nn.Module):
+    """Spatial (and optionally temporal) downsample (reference Resample
+    'downsample2d'/'downsample3d', vae2_2.py:101-170)."""
+
+    dim: int
+    temporal: bool
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, h, w, c = x.shape
+        # ZeroPad2d((0,1,0,1)) + 3x3 stride-2 conv, per frame
+        y = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)))
+        y = nn.Conv(self.dim, (1, 3, 3), strides=(1, 2, 2), padding="VALID",
+                    name="conv_spatial", dtype=x.dtype)(y)
+        if self.temporal:
+            # cached-path equivalent: first frame identity + stride-2 valid
+            # conv with windows anchored at frame 0
+            conv = nn.Conv(self.dim, (3, 1, 1), strides=(2, 1, 1),
+                           padding="VALID", name="time_conv", dtype=x.dtype)
+            rest = conv(y)
+            y = jnp.concatenate([y[:, :1], rest], axis=1)
+        return y
+
+
+class Upsample(nn.Module):
+    """Spatial (and optionally temporal) upsample (reference Resample
+    'upsample2d'/'upsample3d', vae2_2.py:88-157)."""
+
+    dim: int
+    temporal: bool
+
+    @nn.compact
+    def __call__(self, x, first_chunk: bool = True):
+        if self.temporal:
+            b, t, h, w, c = x.shape
+            # causal conv over [0, u1, ..., u_{T-1}] (frame 0 zeroed per the
+            # reference "Rep" semantics), drop output 0, split channels 2x
+            conv = nn.Conv(2 * self.dim, (3, 1, 1), padding=[(2, 0), (0, 0), (0, 0)],
+                           name="time_conv", dtype=x.dtype)
+            if first_chunk:
+                v = jnp.concatenate([jnp.zeros_like(x[:, :1]), x[:, 1:]], axis=1)
+                y = conv(v)[:, 1:]  # [B, T-1, H, W, 2C]
+                y = y.reshape(b, t - 1, h, w, 2, c)
+                y = y.transpose(0, 1, 4, 2, 3, 5).reshape(b, 2 * (t - 1), h, w, c)
+                x = jnp.concatenate([x[:, :1], y], axis=1)
+            else:
+                y = conv(x)
+                y = y.reshape(b, t, h, w, 2, c)
+                x = y.transpose(0, 1, 4, 2, 3, 5).reshape(b, 2 * t, h, w, c)
+        b, t, h, w, c = x.shape
+        # nearest-exact 2x then 3x3 conv, per frame
+        y = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
+        y = nn.Conv(self.dim, (1, 3, 3), padding=[(0, 0), (1, 1), (1, 1)],
+                    name="conv_spatial", dtype=x.dtype)(y)
+        return y
+
+
+class DownStage(nn.Module):
+    """Residual blocks + downsample with avg shortcut (reference
+    Down_ResidualBlock, vae2_2.py:421-458)."""
+
+    in_dim: int
+    out_dim: int
+    num_blocks: int
+    temporal: bool
+    down: bool
+
+    @nn.compact
+    def __call__(self, x):
+        shortcut = avg_down3d(
+            x, self.out_dim, 2 if self.temporal else 1, 2 if self.down else 1
+        )
+        h = x
+        d = self.in_dim
+        for i in range(self.num_blocks):
+            h = ResBlock(d, self.out_dim, name=f"block_{i}")(h)
+            d = self.out_dim
+        if self.down:
+            h = Downsample(self.out_dim, self.temporal, name="downsample")(h)
+        return h + shortcut
+
+
+class UpStage(nn.Module):
+    """Residual blocks + upsample with dup shortcut (reference
+    Up_ResidualBlock, vae2_2.py:461-503)."""
+
+    in_dim: int
+    out_dim: int
+    num_blocks: int
+    temporal: bool
+    up: bool
+
+    @nn.compact
+    def __call__(self, x, first_chunk: bool = True):
+        h = x
+        d = self.in_dim
+        for i in range(self.num_blocks):
+            h = ResBlock(d, self.out_dim, name=f"block_{i}")(h)
+            d = self.out_dim
+        if self.up:
+            h = Upsample(self.out_dim, self.temporal, name="upsample")(h, first_chunk)
+            shortcut = dup_up3d(
+                x, self.out_dim, 2 if self.temporal else 1, 2, first_chunk
+            )
+            return h + shortcut
+        return h
+
+
+class Encoder3d(nn.Module):
+    """(reference Encoder3d, vae2_2.py:506-622)"""
+
+    cfg: VAEConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        dims = [c.base_dim * m for m in (1,) + tuple(c.dim_mult)]
+        x = CausalConv3d(dims[0], name="conv1")(x)
+        for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
+            t_down = c.temporal_downsample[i] if i < len(c.temporal_downsample) else False
+            x = DownStage(din, dout, c.num_res_blocks, t_down,
+                          down=i != len(c.dim_mult) - 1, name=f"down_{i}")(x)
+        x = ResBlock(dims[-1], dims[-1], name="mid_block_1")(x)
+        x = SpatialAttention(dims[-1], name="mid_attn")(x)
+        x = ResBlock(dims[-1], dims[-1], name="mid_block_2")(x)
+        x = ChannelRMSNorm(dims[-1], name="head_norm")(x)
+        x = nn.silu(x)
+        return CausalConv3d(2 * c.z_dim, name="head_conv")(x)
+
+
+class Decoder3d(nn.Module):
+    """(reference Decoder3d, vae2_2.py:625-737). dec base dim is
+    256/160·base_dim in Wan2.2 (reference WanVAE_ dec_dim=256)."""
+
+    cfg: VAEConfig
+    dec_dim: int = 256
+
+    @nn.compact
+    def __call__(self, z, first_chunk: bool = True):
+        c = self.cfg
+        mults = tuple(c.dim_mult)
+        dims = [self.dec_dim * m for m in (mults[-1],) + mults[::-1]]
+        t_up = tuple(reversed(c.temporal_downsample))
+        x = CausalConv3d(dims[0], name="conv1")(z)
+        x = ResBlock(dims[0], dims[0], name="mid_block_1")(x)
+        x = SpatialAttention(dims[0], name="mid_attn")(x)
+        x = ResBlock(dims[0], dims[0], name="mid_block_2")(x)
+        for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
+            temporal = t_up[i] if i < len(t_up) else False
+            x = UpStage(din, dout, c.num_res_blocks + 1, temporal,
+                        up=i != len(mults) - 1, name=f"up_{i}")(x, first_chunk)
+        x = ChannelRMSNorm(dims[-1], name="head_norm")(x)
+        x = nn.silu(x)
+        out_ch = 3 * c.patchify * c.patchify
+        return CausalConv3d(out_ch, name="head_conv")(x)
+
+
+class WanVAE(nn.Module):
+    """Full VAE with latent normalisation (reference Wan2_2_VAE,
+    vae2_2.py:909-1071 + WanVAE_, :748-881)."""
+
+    cfg: VAEConfig
+    dec_dim: int = 256
+
+    def setup(self):
+        self.encoder = Encoder3d(self.cfg)
+        self.decoder = Decoder3d(self.cfg, self.dec_dim)
+        self.conv1 = CausalConv3d(2 * self.cfg.z_dim, kernel=(1, 1, 1), name="conv1")
+        self.conv2 = CausalConv3d(self.cfg.z_dim, kernel=(1, 1, 1), name="conv2")
+
+    def _scale(self):
+        if self.cfg.z_dim == len(WAN22_LATENT_MEAN):
+            return jnp.asarray(WAN22_LATENT_MEAN), jnp.asarray(WAN22_LATENT_STD)
+        return (jnp.zeros((self.cfg.z_dim,), jnp.float32),
+                jnp.ones((self.cfg.z_dim,), jnp.float32))
+
+    def encode(self, video: jax.Array) -> jax.Array:
+        """[B, T, H, W, 3] in [-1, 1] → normalised latent
+        [B, 1+(T-1)/4, H/16, W/16, z]."""
+        x = patchify(video, self.cfg.patchify)
+        out = self.encoder(x)
+        mu, _log_var = jnp.split(self.conv1(out), 2, axis=-1)
+        mean, std = self._scale()
+        return (mu - mean) / std
+
+    def decode(self, z: jax.Array) -> jax.Array:
+        """Normalised latent → video [B, 1+(Tz-1)*4, H*16, W*16, 3] in [-1,1]."""
+        mean, std = self._scale()
+        z = z * std + mean
+        x = self.conv2(z)
+        out = self.decoder(x, first_chunk=True)
+        return jnp.clip(unpatchify(out, self.cfg.patchify), -1.0, 1.0)
+
+    def __call__(self, video):
+        z = self.encode(video)
+        return self.decode(z), z

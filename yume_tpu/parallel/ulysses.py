@@ -1,0 +1,144 @@
+"""Sequence parallelism: Ulysses all-to-all attention + ring attention.
+
+TPU-native equivalents of the reference's three SP mechanisms:
+  * DeepSpeed-Ulysses all-to-all (seq⇄heads) — reference
+    fastvideo/utils/communications.py:20-140, wan23/distributed/ulysses.py:9-47
+  * sequence-chunk context parallelism (shard L between embed and head) —
+    reference wan23/distributed/sequence_parallel.py:64-176
+  * ring attention (the xDiT "USP" ring component) — reference delegates to
+    xfuser (wan/distributed/xdit_context_parallel.py:179); here a native
+    `ppermute` ring with online-softmax merging.
+
+All functions are written for use inside `shard_map` over a mesh axis; the
+autograd through collectives is handled by JAX (lax collectives are
+differentiable), replacing the reference's hand-written autograd.Functions
+(`SeqAllToAll4D`, `_AllGather` with slice-backward).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.attention import attention
+
+
+def ulysses_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    axis_name: str,
+    attn_fn: Optional[Callable] = None,
+    impl: Optional[str] = None,
+) -> jax.Array:
+    """All-to-all attention: in = [B, L/sp, N, D] (sequence-sharded),
+    swap to [B, L, N/sp, D] (head-sharded), full-sequence attention,
+    swap back (reference ulysses.py:9-47 / communications.py:20-103).
+
+    Must run inside shard_map with ``axis_name`` bound.
+    """
+    sp = jax.lax.psum(1, axis_name)
+    if attn_fn is None:
+        attn_fn = functools.partial(attention, impl=impl)
+
+    def scatter_heads(x):
+        # [B, Ls, N, D] -> [B, sp*Ls, N/sp, D]
+        return jax.lax.all_to_all(
+            x, axis_name, split_axis=2, concat_axis=1, tiled=True
+        )
+
+    def gather_heads(x):
+        # [B, L, N/sp, D] -> [B, L/sp, N, D]
+        return jax.lax.all_to_all(
+            x, axis_name, split_axis=1, concat_axis=2, tiled=True
+        )
+
+    out = attn_fn(scatter_heads(q), scatter_heads(k), scatter_heads(v))
+    return gather_heads(out)
+
+
+def ring_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    axis_name: str,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Ring attention over a sequence-sharded kv: each step attends the
+    local q block against the current kv block, merging partial softmax
+    statistics online, then rotates kv around the ring with `ppermute`
+    (ICI neighbour exchange). Full (non-causal) attention.
+
+    q, k, v: [B, L/sp, N, D] (same shard layout). Runs inside shard_map.
+    """
+    sp = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    d = q.shape[-1]
+    if scale is None:
+        scale = d ** -0.5
+    perm = [(i, (i + 1) % sp) for i in range(sp)]
+
+    qf = q.astype(jnp.float32)
+
+    def partial_attn(kb, vb):
+        s = jnp.einsum("bqnd,bknd->bnqk", qf, kb.astype(jnp.float32)) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)  # [B,N,Lq,1]
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.einsum("bnqk,bknd->bqnd", p, vb.astype(jnp.float32))
+        return m, l, o
+
+    def body(carry, _):
+        kb, vb, m, l, o = carry
+        m_b, l_b, o_b = partial_attn(kb, vb)
+        m_new = jnp.maximum(m, m_b)
+        a1 = jnp.exp(m - m_new)
+        a2 = jnp.exp(m_b - m_new)
+        l_new = l * a1 + l_b * a2
+        # m/l are [B,N,Lq,1]; o is [B,Lq,N,D]
+        tr = lambda x: jnp.moveaxis(x, 1, 2)  # [B,N,Lq,1] -> [B,Lq,N,1]
+        o_new = o * tr(a1) + o_b * tr(a2)
+        kb = jax.lax.ppermute(kb, axis_name, perm)
+        vb = jax.lax.ppermute(vb, axis_name, perm)
+        return (kb, vb, m_new, l_new, o_new), None
+
+    b, lq, n, _ = q.shape
+    m0 = jnp.full((b, n, lq, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((b, n, lq, 1), jnp.float32)
+    o0 = jnp.zeros((b, lq, n, d), jnp.float32)
+    (_, _, m, l, o), _ = jax.lax.scan(
+        body, (k, v, m0, l0, o0), None, length=sp
+    )
+    out = o / jnp.moveaxis(l, 1, 2)
+    return out.astype(q.dtype)
+
+
+def sp_shard_map_attention(
+    mesh: Mesh,
+    kind: str = "ulysses",
+    impl: Optional[str] = None,
+) -> Callable:
+    """Wrap an attention over [B, L, N, D] inputs sharded on mesh axis
+    'sp' along L: the drop-in SP attention for the DiT
+    (≙ monkey-patched sp_attn_forward, wan23/distributed/sequence_parallel.py:147-176)."""
+    from jax.experimental.shard_map import shard_map
+
+    fn = {
+        "ulysses": functools.partial(ulysses_attention, axis_name="sp", impl=impl),
+        "ring": functools.partial(ring_attention, axis_name="sp"),
+    }[kind]
+
+    spec = P(None, "sp", None, None)
+    return shard_map(
+        lambda q, k, v: fn(q, k, v),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_rep=False,
+    )

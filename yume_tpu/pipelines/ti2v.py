@@ -1,0 +1,216 @@
+"""Yume-1.5 (Wan2.2-TI2V-5B) generation pipeline.
+
+TPU-native equivalent of the reference `wan23.Yume` pipeline + sampling
+drivers (wan23/textimage2video.py:60-653, fastvideo/sample/sample_5b.py:
+753-1100): conditioning preparation is a pure function returning a pytree
+(≙ arg_c/arg_null), the denoise loops are jitted `lax.scan`s
+(diffusion/samplers.py), and the autoregressive segment rollout is a host
+loop over jit-cached per-bucket compilations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import PipelineConfig
+from ..diffusion import samplers
+from ..diffusion.schedule import sampling_sigmas
+from ..models.dit import WanDiT
+from ..models.t5 import T5Encoder
+from ..models.vae import WanVAE
+from ..utils.masks import masks_like
+
+
+@dataclasses.dataclass
+class TI2VPipeline:
+    """Bundles model definitions + parameters for the 5B generation stack."""
+
+    config: PipelineConfig
+    dit: WanDiT
+    dit_params: Any
+    vae: WanVAE
+    vae_params: Any
+    t5: Optional[T5Encoder] = None
+    t5_params: Any = None
+    attn_impl: Optional[str] = None
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def from_config(
+        cls,
+        config: PipelineConfig,
+        rng: jax.Array,
+        *,
+        init_t5: bool = False,
+        latent_shape: Tuple[int, int, int] = (2, 32, 32),
+        dtype=jnp.bfloat16,
+    ) -> "TI2VPipeline":
+        """Random-initialised pipeline (tests / smoke runs). Real weights
+        come from `load_pretrained`."""
+        d_rng, v_rng, t_rng = jax.random.split(rng, 3)
+        dit = WanDiT(config.dit, dtype=dtype)
+        f, h, w = latent_shape
+        x = jnp.zeros((1, f, h, w, config.dit.in_dim))
+        t = jnp.zeros((1, f))
+        ctx = jnp.zeros((1, config.dit.text_len, config.dit.text_dim))
+        dit_params = dit.init(d_rng, x, t, ctx, packed=False)
+
+        vae = WanVAE(config.vae)
+        p = config.vae.patchify
+        s = config.vae.stride
+        video = jnp.zeros((1, 1 + (f - 1) * s[0], h * s[1], w * s[2], 3))
+        vae_params = vae.init(v_rng, video)
+
+        t5 = t5_params = None
+        if init_t5:
+            t5 = T5Encoder(config.t5, dtype=dtype)
+            ids = jnp.zeros((1, config.t5.text_len), jnp.int32)
+            t5_params = t5.init(t_rng, ids, jnp.ones_like(ids))
+        return cls(config, dit, dit_params, vae, vae_params, t5, t5_params)
+
+    # -- conditioning --------------------------------------------------------
+
+    def encode_text(self, ids: jax.Array, mask: jax.Array) -> jax.Array:
+        """[B, text_len] ids → [B, text_len, text_dim] context with padding
+        zeroed (≙ the reference's per-sample unpadded embeddings re-padded by
+        the DiT, wan23/modules/model.py:816-821)."""
+        assert self.t5 is not None, "pipeline built without a text encoder"
+        ctx = self.t5.apply(self.t5_params, ids, mask)
+        return (ctx * mask[:, :, None]).astype(jnp.float32)
+
+    # -- jitted building blocks ---------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5))
+    def _sample_t2v(self, noise, ctx, sigmas_key, steps, shift):
+        sig = sampling_sigmas(steps, shift)
+
+        def denoise(latent, t_frame):
+            return self.dit.apply(
+                self.dit_params, latent.astype(jnp.bfloat16), t_frame, ctx,
+                packed=False, attn_impl=self.attn_impl,
+            ).astype(latent.dtype)
+
+        return samplers.euler_sample(denoise, noise, sig)
+
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+    def _sample_segment(self, latent, ctx, history_t, steps, shift, lfz):
+        sig = sampling_sigmas(steps, shift)
+
+        def denoise(lat, t_frame):
+            out = self.dit.apply(
+                self.dit_params, lat.astype(jnp.bfloat16), t_frame, ctx,
+                packed=True, latent_frame_zero=lfz, attn_impl=self.attn_impl,
+            ).astype(lat.dtype)
+            # packed DiT returns tail frames only; splice into full-length v
+            pad = jnp.zeros_like(lat[:, : lat.shape[1] - lfz])
+            return jnp.concatenate([pad, out], axis=1)
+
+        return samplers.euler_sample_segment(
+            denoise, latent, sig, lfz, history_t=history_t
+        )
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _decode(self, z):
+        return self.vae.apply(self.vae_params, z, method=self.vae.decode)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _encode(self, video):
+        return self.vae.apply(self.vae_params, video, method=self.vae.encode)
+
+    # -- public generation ---------------------------------------------------
+
+    def generate_t2v(
+        self,
+        ctx: jax.Array,
+        *,
+        size: Tuple[int, int] = (1280, 704),
+        frame_num: int = 121,
+        steps: int = 50,
+        shift: Optional[float] = None,
+        seed: int = 0,
+    ) -> jax.Array:
+        """Text-to-video, single segment (reference t2v path:
+        sample_5b.py --T2V, flag=False unpacked, no CFG). Returns video
+        [B, frame_num, H, W, 3] in [-1, 1]."""
+        cfgv = self.config.vae
+        shift = self.config.sample_shift if shift is None else shift
+        f_lat = (frame_num - 1) // cfgv.stride[0] + 1
+        h_lat = size[1] // cfgv.stride[1]
+        w_lat = size[0] // cfgv.stride[2]
+        noise = jax.random.normal(
+            jax.random.PRNGKey(seed),
+            (ctx.shape[0], f_lat, h_lat, w_lat, cfgv.z_dim), jnp.float32,
+        )
+        latent = self._sample_t2v(noise, ctx, None, steps, shift)
+        return self._decode(latent)
+
+    def generate_segment(
+        self,
+        history_latents: jax.Array,
+        ctx: jax.Array,
+        *,
+        steps: int = 4,
+        shift: float = 7.0,
+        seed: int = 0,
+    ) -> jax.Array:
+        """One autoregressive continuation: append `latent_frame_zero` fresh
+        noise frames after the history, denoise them (packed history,
+        per-frame timesteps), return the grown latent sequence (reference
+        sample_5b.py:920-1100)."""
+        lfz = self.config.latent_frame_zero
+        b, f_hist, h, w, c = history_latents.shape
+        noise = jax.random.normal(
+            jax.random.PRNGKey(seed), (b, lfz, h, w, c), jnp.float32
+        )
+        latent = jnp.concatenate([history_latents, noise], axis=1)
+        history_t = jnp.zeros((b, f_hist), jnp.float32)
+        latent = self._sample_segment(latent, ctx, history_t, steps, shift, lfz)
+        return latent
+
+    def generate_long(
+        self,
+        ctxs: List[jax.Array],
+        first_segment: jax.Array,
+        *,
+        steps: int = 4,
+        shift: float = 7.0,
+        seed: int = 0,
+    ) -> Tuple[jax.Array, List[jax.Array]]:
+        """Autoregressive rollout: `first_segment` [B, F0, h, w, z] latents
+        (from t2v or an encoded image), then one segment per context in
+        `ctxs` (per-segment control captions). Returns (full latent
+        sequence, decoded tail videos)."""
+        latents = first_segment
+        videos = []
+        for s, ctx in enumerate(ctxs):
+            latents = self.generate_segment(
+                latents, ctx, steps=steps, shift=shift, seed=seed + s + 1
+            )
+            tail = latents[:, -self.config.latent_frame_zero:]
+            videos.append(self._decode(tail))
+        return latents, videos
+
+    def encode_image_conditioning(
+        self, img: jax.Array, frame_num: int
+    ) -> Tuple[jax.Array, jax.Array]:
+        """i2v conditioning (reference wan23/textimage2video.py:381-517):
+        VAE-encode the (repeated) conditioning frames, zero-pad to the
+        target latent length, and build masks_like masks."""
+        z = self._encode(img)
+        f_target = (frame_num - 1) // self.config.vae.stride[0] + 1
+        pad = f_target - z.shape[1]
+        if pad > 0:
+            z = jnp.concatenate(
+                [z, jnp.zeros_like(z[:, -1:]).repeat(pad, axis=1)], axis=1
+            )
+        _, mask2 = masks_like(
+            z.shape, zero=True, latent_frame_zero=self.config.latent_frame_zero
+        )
+        return z, mask2

@@ -1,0 +1,294 @@
+"""Checkpointing: Orbax save/restore + torch-weight import bridges.
+
+Replaces the reference's FSDP checkpoint machinery
+(fastvideo/utils/checkpoint.py): sharded async Orbax checkpoints for
+training state, plus converters that map the released torch
+state_dicts (safetensors / .pth) onto our flax parameter pytrees
+(equivalent of `resume_checkpoint_yume`, fastvideo/utils/checkpoint.py:285-337).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Callable, Dict, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# generic helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(x) -> np.ndarray:
+    """torch tensor (or ndarray) → float32 numpy."""
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().float().numpy()
+    return np.asarray(x, np.float32)
+
+
+def conv3d_kernel(w) -> np.ndarray:
+    """torch Conv3d weight (O, I, kT, kH, kW) → flax (kT, kH, kW, I, O)."""
+    return _t(w).transpose(2, 3, 4, 1, 0)
+
+
+def conv2d_as_3d_kernel(w) -> np.ndarray:
+    """torch Conv2d weight (O, I, kH, kW) → flax 3D (1, kH, kW, I, O)."""
+    return _t(w).transpose(2, 3, 1, 0)[None]
+
+
+def dense_kernel(w) -> np.ndarray:
+    """torch Linear weight (O, I) → flax (I, O)."""
+    return _t(w).T
+
+
+def conv1x1_as_dense(w) -> np.ndarray:
+    """torch 1×1 Conv2d weight (O, I, 1, 1) → flax Dense (I, O)."""
+    return _t(w)[:, :, 0, 0].T
+
+
+def set_in(tree: Dict, path: str, value: np.ndarray):
+    keys = path.split("/")
+    node = tree
+    for k in keys[:-1]:
+        node = node.setdefault(k, {})
+    node[keys[-1]] = value
+
+
+# ---------------------------------------------------------------------------
+# VAE (Wan2.2) torch → flax
+# ---------------------------------------------------------------------------
+
+
+def convert_vae22_state_dict(sd: Mapping[str, Any], num_res_blocks: int = 2) -> Dict:
+    """Map a reference Wan2.2 VAE state_dict (wan23/modules/vae2_2.py naming)
+    onto yume_tpu.models.vae.WanVAE params."""
+    params: Dict = {}
+
+    def res_block(src: str, dst: str):
+        set_in(params, f"{dst}/norm1/gamma", _t(sd[f"{src}.residual.0.gamma"]).reshape(-1))
+        set_in(params, f"{dst}/conv1/conv/kernel", conv3d_kernel(sd[f"{src}.residual.2.weight"]))
+        set_in(params, f"{dst}/conv1/conv/bias", _t(sd[f"{src}.residual.2.bias"]))
+        set_in(params, f"{dst}/norm2/gamma", _t(sd[f"{src}.residual.3.gamma"]).reshape(-1))
+        set_in(params, f"{dst}/conv2/conv/kernel", conv3d_kernel(sd[f"{src}.residual.6.weight"]))
+        set_in(params, f"{dst}/conv2/conv/bias", _t(sd[f"{src}.residual.6.bias"]))
+        if f"{src}.shortcut.weight" in sd:
+            set_in(params, f"{dst}/shortcut/conv/kernel", conv3d_kernel(sd[f"{src}.shortcut.weight"]))
+            set_in(params, f"{dst}/shortcut/conv/bias", _t(sd[f"{src}.shortcut.bias"]))
+
+    def attn(src: str, dst: str):
+        set_in(params, f"{dst}/norm/gamma", _t(sd[f"{src}.norm.gamma"]).reshape(-1))
+        set_in(params, f"{dst}/to_qkv/kernel", conv1x1_as_dense(sd[f"{src}.to_qkv.weight"]))
+        set_in(params, f"{dst}/to_qkv/bias", _t(sd[f"{src}.to_qkv.bias"]))
+        set_in(params, f"{dst}/proj/kernel", conv1x1_as_dense(sd[f"{src}.proj.weight"]))
+        set_in(params, f"{dst}/proj/bias", _t(sd[f"{src}.proj.bias"]))
+
+    def causal(src: str, dst: str):
+        set_in(params, f"{dst}/conv/kernel", conv3d_kernel(sd[f"{src}.weight"]))
+        set_in(params, f"{dst}/conv/bias", _t(sd[f"{src}.bias"]))
+
+    def resample(src_seq: str, src_time: str, dst: str, spatial_idx: int):
+        set_in(params, f"{dst}/conv_spatial/kernel",
+               conv2d_as_3d_kernel(sd[f"{src_seq}.{spatial_idx}.weight"]))
+        set_in(params, f"{dst}/conv_spatial/bias", _t(sd[f"{src_seq}.{spatial_idx}.bias"]))
+        if f"{src_time}.weight" in sd:
+            set_in(params, f"{dst}/time_conv/kernel", conv3d_kernel(sd[f"{src_time}.weight"]))
+            set_in(params, f"{dst}/time_conv/bias", _t(sd[f"{src_time}.bias"]))
+
+    # encoder
+    causal("encoder.conv1", "encoder/conv1")
+    n_stage = 0
+    while f"encoder.downsamples.{n_stage}.downsamples.0.residual.0.gamma" in sd:
+        n_stage += 1
+    for i in range(n_stage):
+        base = f"encoder.downsamples.{i}.downsamples"
+        for j in range(num_res_blocks):
+            res_block(f"{base}.{j}", f"encoder/down_{i}/block_{j}")
+        if f"{base}.{num_res_blocks}.resample.1.weight" in sd:
+            resample(f"{base}.{num_res_blocks}.resample",
+                     f"{base}.{num_res_blocks}.time_conv",
+                     f"encoder/down_{i}/downsample", 1)
+    res_block("encoder.middle.0", "encoder/mid_block_1")
+    attn("encoder.middle.1", "encoder/mid_attn")
+    res_block("encoder.middle.2", "encoder/mid_block_2")
+    set_in(params, "encoder/head_norm/gamma", _t(sd["encoder.head.0.gamma"]).reshape(-1))
+    causal("encoder.head.2", "encoder/head_conv")
+
+    causal("conv1", "conv1")
+    causal("conv2", "conv2")
+
+    # decoder
+    causal("decoder.conv1", "decoder/conv1")
+    res_block("decoder.middle.0", "decoder/mid_block_1")
+    attn("decoder.middle.1", "decoder/mid_attn")
+    res_block("decoder.middle.2", "decoder/mid_block_2")
+    i = 0
+    while f"decoder.upsamples.{i}.upsamples.0.residual.0.gamma" in sd:
+        base = f"decoder.upsamples.{i}.upsamples"
+        for j in range(num_res_blocks + 1):
+            res_block(f"{base}.{j}", f"decoder/up_{i}/block_{j}")
+        if f"{base}.{num_res_blocks + 1}.resample.1.weight" in sd:
+            resample(f"{base}.{num_res_blocks + 1}.resample",
+                     f"{base}.{num_res_blocks + 1}.time_conv",
+                     f"decoder/up_{i}/upsample", 1)
+        i += 1
+    set_in(params, "decoder/head_norm/gamma", _t(sd["decoder.head.0.gamma"]).reshape(-1))
+    causal("decoder.head.2", "decoder/head_conv")
+
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# DiT torch → flax
+# ---------------------------------------------------------------------------
+
+
+def convert_dit_state_dict(sd: Mapping[str, Any], num_layers: int) -> Dict:
+    """Map a reference WanModel state_dict (wan23/modules/model.py naming,
+    sharded-safetensors layout loaded by `resume_checkpoint_yume`) onto
+    yume_tpu.models.dit.WanDiT params."""
+    params: Dict = {}
+
+    def dense(src: str, dst: str):
+        set_in(params, f"{dst}/kernel", dense_kernel(sd[f"{src}.weight"]))
+        if f"{src}.bias" in sd:
+            set_in(params, f"{dst}/bias", _t(sd[f"{src}.bias"]))
+
+    def rms(src: str, dst: str):
+        set_in(params, f"{dst}/weight", _t(sd[f"{src}.weight"]))
+
+    def conv(src: str, dst: str):
+        set_in(params, f"{dst}/kernel", conv3d_kernel(sd[f"{src}.weight"]))
+        set_in(params, f"{dst}/bias", _t(sd[f"{src}.bias"]))
+
+    for name in ("patch_embedding", "patch_embedding_2x", "patch_embedding_4x",
+                 "patch_embedding_8x", "patch_embedding_16x", "patch_embedding_2x_f"):
+        if f"{name}.weight" in sd:
+            conv(name, name)
+
+    dense("text_embedding.0", "text_embedding_0")
+    dense("text_embedding.2", "text_embedding_2")
+    dense("time_embedding.0", "time_embedding_0")
+    dense("time_embedding.2", "time_embedding_2")
+    dense("time_projection.1", "time_projection_1")
+    if "img_emb.proj.1.weight" in sd:  # 14B CLIP branch (MLPProj)
+        set_in(params, "img_emb_norm1/scale", _t(sd["img_emb.proj.0.weight"]))
+        set_in(params, "img_emb_norm1/bias", _t(sd["img_emb.proj.0.bias"]))
+        dense("img_emb.proj.1", "img_emb_1")
+        dense("img_emb.proj.3", "img_emb_3")
+        set_in(params, "img_emb_norm4/scale", _t(sd["img_emb.proj.4.weight"]))
+        set_in(params, "img_emb_norm4/bias", _t(sd["img_emb.proj.4.bias"]))
+
+    def block(src: str, dst: str):
+        set_in(params, f"{dst}/modulation", _t(sd[f"{src}.modulation"]))
+        for a in ("q", "k", "v", "o"):
+            dense(f"{src}.self_attn.{a}", f"{dst}/self_attn/{a}")
+        rms(f"{src}.self_attn.norm_q", f"{dst}/self_attn/norm_q")
+        rms(f"{src}.self_attn.norm_k", f"{dst}/self_attn/norm_k")
+        for a in ("q", "k", "v", "o"):
+            dense(f"{src}.cross_attn.{a}", f"{dst}/cross_attn/{a}")
+        rms(f"{src}.cross_attn.norm_q", f"{dst}/cross_attn/norm_q")
+        rms(f"{src}.cross_attn.norm_k", f"{dst}/cross_attn/norm_k")
+        for a in ("k_img", "v_img"):
+            if f"{src}.cross_attn.{a}.weight" in sd:
+                dense(f"{src}.cross_attn.{a}", f"{dst}/cross_attn/{a}")
+        if f"{src}.cross_attn.norm_k_img.weight" in sd:
+            rms(f"{src}.cross_attn.norm_k_img", f"{dst}/cross_attn/norm_k_img")
+        if f"{src}.norm3.weight" in sd:
+            set_in(params, f"{dst}/norm3/weight", _t(sd[f"{src}.norm3.weight"]))
+            set_in(params, f"{dst}/norm3/bias", _t(sd[f"{src}.norm3.bias"]))
+        dense(f"{src}.ffn.0", f"{dst}/ffn_0")
+        dense(f"{src}.ffn.2", f"{dst}/ffn_2")
+
+    for i in range(num_layers):
+        block(f"blocks.{i}", f"blocks_{i}")
+    if "sideblock.modulation" in sd:
+        block("sideblock", "sideblock")
+    if "mask_token" in sd:
+        set_in(params, "mask_token", _t(sd["mask_token"]))
+
+    set_in(params, "head/modulation", _t(sd["head.modulation"]))
+    dense("head.head", "head/head")
+
+    return {"params": params}
+
+
+def convert_t5_state_dict(sd: Mapping[str, Any], num_layers: int) -> Dict:
+    """Map the reference umT5 encoder state_dict (wan/modules/t5.py naming)
+    onto yume_tpu.models.t5.T5Encoder params."""
+    params: Dict = {}
+    set_in(params, "token_embedding/embedding", _t(sd["token_embedding.weight"]))
+    for i in range(num_layers):
+        src, dst = f"blocks.{i}", f"blocks_{i}"
+        set_in(params, f"{dst}/norm1/weight", _t(sd[f"{src}.norm1.weight"]))
+        set_in(params, f"{dst}/norm2/weight", _t(sd[f"{src}.norm2.weight"]))
+        for a in ("q", "k", "v", "o"):
+            set_in(params, f"{dst}/attn/{a}/kernel", dense_kernel(sd[f"{src}.attn.{a}.weight"]))
+        set_in(params, f"{dst}/ffn/gate/kernel", dense_kernel(sd[f"{src}.ffn.gate.0.weight"]))
+        set_in(params, f"{dst}/ffn/fc1/kernel", dense_kernel(sd[f"{src}.ffn.fc1.weight"]))
+        set_in(params, f"{dst}/ffn/fc2/kernel", dense_kernel(sd[f"{src}.ffn.fc2.weight"]))
+        set_in(params, f"{dst}/pos_embedding",
+               _t(sd[f"{src}.pos_embedding.embedding.weight"]))
+    set_in(params, "norm/weight", _t(sd["norm.weight"]))
+    return {"params": params}
+
+
+def load_safetensors_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a (possibly sharded-with-index) safetensors checkpoint directory
+    or file into a flat numpy state dict (equivalent of
+    `resume_checkpoint_yume`'s index handling, checkpoint.py:285-337)."""
+    import json
+
+    from safetensors import safe_open
+
+    files = []
+    if os.path.isdir(path):
+        idx = os.path.join(path, "diffusion_pytorch_model.safetensors.index.json")
+        if os.path.exists(idx):
+            with open(idx) as f:
+                weight_map = json.load(f)["weight_map"]
+            files = sorted({os.path.join(path, v) for v in weight_map.values()})
+        else:
+            files = sorted(
+                os.path.join(path, f) for f in os.listdir(path)
+                if f.endswith(".safetensors")
+            )
+    else:
+        files = [path]
+    sd: Dict[str, np.ndarray] = {}
+    for f in files:
+        with safe_open(f, framework="np") as fh:
+            for k in fh.keys():
+                sd[k] = fh.get_tensor(k)
+    return sd
+
+
+# ---------------------------------------------------------------------------
+# Orbax training-state checkpointing
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(path: str, state: Any, step: int):
+    """Async sharded save of a train-state pytree."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    mngr = ocp.CheckpointManager(path)
+    mngr.save(step, args=ocp.args.StandardSave(state))
+    mngr.wait_until_finished()
+    mngr.close()
+
+
+def restore_checkpoint(path: str, state: Any, step: int | None = None) -> Any:
+    """Restore a train-state pytree (latest step by default)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    mngr = ocp.CheckpointManager(path)
+    step = mngr.latest_step() if step is None else step
+    restored = mngr.restore(step, args=ocp.args.StandardRestore(state))
+    mngr.close()
+    return restored
