@@ -55,6 +55,16 @@ def test_flash_kv_len_mask(rng_np):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=8e-3, rtol=8e-3)
 
 
+def _interpret_ctx():
+    import contextlib
+
+    if ON_TPU:
+        return contextlib.nullcontext()
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.force_tpu_interpret_mode()
+
+
 def test_flash_grad_matches_xla(rng_np):
     b, l, n, d = 1, 256, 2, 64
     q = rng_np.standard_normal((b, l, n, d)).astype(np.float32)
@@ -68,9 +78,10 @@ def test_flash_grad_matches_xla(rng_np):
     grads_ref = jax.grad(functools.partial(loss, xla_attention), argnums=(0, 1, 2))(
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
     )
-    grads_got = jax.grad(functools.partial(loss, _pallas_attention), argnums=(0, 1, 2))(
-        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
-    )
+    with _interpret_ctx():
+        grads_got = jax.grad(
+            functools.partial(loss, fa.flash_attention), argnums=(0, 1, 2)
+        )(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
     for got, want, name in zip(grads_got, grads_ref, "qkv"):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=5e-2, rtol=5e-2, err_msg=name
@@ -88,7 +99,10 @@ def test_flash_grad_with_mask(rng_np):
         return jnp.sum(fn(q, k, v, kv_len=kv_len) ** 2)
 
     grads_ref = jax.grad(functools.partial(loss, xla_attention), argnums=(0, 1, 2))(q, k, v)
-    grads_got = jax.grad(functools.partial(loss, _pallas_attention), argnums=(0, 1, 2))(q, k, v)
+    with _interpret_ctx():
+        grads_got = jax.grad(
+            functools.partial(loss, fa.flash_attention), argnums=(0, 1, 2)
+        )(q, k, v)
     for got, want, name in zip(grads_got, grads_ref, "qkv"):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=5e-2, rtol=5e-2, err_msg=name

@@ -1,0 +1,62 @@
+"""End-to-end TI2V pipeline smoke tests (tiny shapes, random weights)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yume_tpu.configs import DiTConfig, PipelineConfig, T5Config, VAEConfig
+from yume_tpu.pipelines.ti2v import TI2VPipeline
+
+TINY = PipelineConfig(
+    name="tiny",
+    dit=DiTConfig(model_type="ti2v", in_dim=8, out_dim=8, dim=64, ffn_dim=128,
+                  freq_dim=32, text_dim=16, text_len=16, num_heads=4,
+                  num_layers=2, framepack=True),
+    vae=VAEConfig(z_dim=8, base_dim=8, dim_mult=(1, 2, 2), num_res_blocks=1,
+                  temporal_downsample=(True, False), stride=(2, 8, 8), patchify=2),
+    t5=T5Config(vocab_size=64, dim=16, dim_attn=16, dim_ffn=24, num_heads=2,
+                num_layers=1, text_len=16),
+    latent_frame_zero=2,
+    sample_shift=5.0,
+)
+
+
+def _pipe():
+    return TI2VPipeline.from_config(
+        TINY, jax.random.PRNGKey(0), init_t5=True, latent_shape=(3, 4, 4),
+        dtype=jnp.float32,
+    )
+
+
+def test_t2v_end_to_end():
+    pipe = _pipe()
+    ids = jnp.zeros((1, 16), jnp.int32)
+    ctx = pipe.encode_text(ids, jnp.ones_like(ids))
+    assert ctx.shape == (1, 16, 16)
+    video = pipe.generate_t2v(ctx, size=(32, 32), frame_num=5, steps=2)
+    # stride (2,8,8): 5 frames → 3 latent → decode back to 5
+    assert video.shape == (1, 5, 32, 32, 3)
+    assert np.isfinite(np.asarray(video)).all()
+
+
+def test_autoregressive_rollout():
+    pipe = _pipe()
+    ids = jnp.zeros((1, 16), jnp.int32)
+    ctx = pipe.encode_text(ids, jnp.ones_like(ids))
+    first = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 4, 4, 8))
+    latents, videos = pipe.generate_long([ctx, ctx], first, steps=2)
+    assert latents.shape == (1, 3 + 2 * TINY.latent_frame_zero, 4, 4, 8)
+    assert len(videos) == 2
+    for v in videos:
+        assert np.isfinite(np.asarray(v)).all()
+
+
+def test_image_conditioning():
+    pipe = _pipe()
+    img = jnp.zeros((1, 1, 32, 32, 3))
+    z, mask2 = pipe.encode_image_conditioning(img, frame_num=5)
+    assert z.shape == (1, 3, 4, 4, 8)
+    np.testing.assert_allclose(np.asarray(mask2[0, -2:]), 1.0)
+    np.testing.assert_allclose(np.asarray(mask2[0, :1]), 0.0)

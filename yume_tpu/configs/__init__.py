@@ -75,6 +75,9 @@ class VAEConfig:
     # Wan2.2 patchifies 2x2 pixels into channels before the encoder
     # (reference wan23/modules/vae2_2.py:286-320).
     patchify: int = 2
+    # 'wan22': AvgDown/DupUp shortcut stages (vae2_2.py); 'wan21': plain
+    # residual stages with channel-halving upsamples (wan/modules/vae.py).
+    arch: str = "wan22"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -161,7 +164,8 @@ def i2v_14b() -> PipelineConfig:
             image_context_len=257, text_dim=4096,
         ),
         vae=VAEConfig(z_dim=16, base_dim=96, stride=(4, 8, 8), patchify=1,
-                      dim_mult=(1, 2, 4, 4), temporal_downsample=(False, True, True)),
+                      dim_mult=(1, 2, 4, 4), temporal_downsample=(True, True, False),
+                      arch="wan21"),
         clip=CLIPConfig(),
         latent_frame_zero=9,
         sample_shift=3.0,

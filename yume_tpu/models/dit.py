@@ -564,6 +564,8 @@ class WanDiT(nn.Module):
             ``latent_frame_zero`` frames when packed (the reference likewise
             unpatchifies only tail tokens, wan23/modules/model.py:858-863).
         """
+        if self.is_initializing():
+            self._touch_unused_params(x, context)
         if packed:
             return self._forward_packed(
                 x, t_frame, context, latent_frame_zero, clip_context, attn_impl,
@@ -572,6 +574,30 @@ class WanDiT(nn.Module):
         return self._forward_unpacked(
             x, t_frame, context, clip_context, attn_impl, mvdt_rng, mvdt_keep
         )
+
+    def _touch_unused_params(self, x, context):
+        """Materialise params of conditionally-used submodules at init time
+        (flax only creates params for modules actually called): the FramePack
+        conv set varies per history bucket, and the MVDT sideblock only runs
+        under masking."""
+        c = self.cfg
+        if c.framepack:
+            p = c.patch_size[1]
+            dummy = jnp.zeros((1, c.patch_size[0], 16 * p, 16 * p, c.in_dim),
+                              self.dtype)
+            for conv in (self.patch_embedding_2x, self.patch_embedding_4x,
+                         self.patch_embedding_8x, self.patch_embedding_16x,
+                         self.patch_embedding_2x_f):
+                conv(dummy)
+        if c.mvdt:
+            l = 4
+            h = jnp.zeros((1, l, c.dim), self.dtype)
+            mod = self._time_mod(jnp.zeros((1, 1)), None)
+            cos = jnp.ones((l, c.head_dim // 2), jnp.float32)
+            ctx = self._context(context, None) if not c.image_context_len else None
+            if ctx is None:
+                ctx = jnp.zeros((1, 4, c.dim), self.dtype)
+            self.sideblock(h, mod, ctx, cos, jnp.zeros_like(cos), "xla")
 
     def _forward_unpacked(self, x, t_frame, context, clip_context, attn_impl,
                           mvdt_rng=None, mvdt_keep=None):

@@ -189,6 +189,17 @@ def dup_up3d(x, out_ch: int, ft: int, fs: int, first_chunk: bool):
     return x
 
 
+# Wan2.1 16-channel latent normalisation (reference wan/modules/vae.py:629-639)
+WAN21_LATENT_MEAN = np.array([
+    -0.7571, -0.7089, -0.9113, 0.1075, -0.1745, 0.9653, -0.1517, 1.5508,
+    0.4134, -0.0715, 0.5517, -0.3632, -0.1922, -0.9497, 0.2503, -0.2921,
+], np.float32)
+WAN21_LATENT_STD = np.array([
+    2.8184, 1.4541, 2.3275, 2.6558, 1.2196, 1.7708, 2.6052, 2.0743,
+    3.2687, 2.1526, 2.8652, 1.5579, 1.6382, 1.1253, 2.8251, 1.9160,
+], np.float32)
+
+
 class Downsample(nn.Module):
     """Spatial (and optionally temporal) downsample (reference Resample
     'downsample2d'/'downsample3d', vae2_2.py:101-170)."""
@@ -215,10 +226,13 @@ class Downsample(nn.Module):
 
 class Upsample(nn.Module):
     """Spatial (and optionally temporal) upsample (reference Resample
-    'upsample2d'/'upsample3d', vae2_2.py:88-157)."""
+    'upsample2d'/'upsample3d', vae2_2.py:88-157). ``out_dim`` supports the
+    Wan2.1 variant whose spatial conv halves channels
+    (reference wan/modules/vae.py:77-85)."""
 
     dim: int
     temporal: bool
+    out_dim: int | None = None
 
     @nn.compact
     def __call__(self, x, first_chunk: bool = True):
@@ -241,9 +255,71 @@ class Upsample(nn.Module):
         b, t, h, w, c = x.shape
         # nearest-exact 2x then 3x3 conv, per frame
         y = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
-        y = nn.Conv(self.dim, (1, 3, 3), padding=[(0, 0), (1, 1), (1, 1)],
+        feats = self.dim if self.out_dim is None else self.out_dim
+        y = nn.Conv(feats, (1, 3, 3), padding=[(0, 0), (1, 1), (1, 1)],
                     name="conv_spatial", dtype=x.dtype)(y)
         return y
+
+
+class Wan21Encoder3d(nn.Module):
+    """Wan2.1 encoder: plain residual stages without the AvgDown3D shortcuts
+    (reference wan/modules/vae.py:265-366)."""
+
+    cfg: VAEConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        dims = [c.base_dim * m for m in (1,) + tuple(c.dim_mult)]
+        x = CausalConv3d(dims[0], name="conv1")(x)
+        blk = 0
+        for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
+            d = din
+            for _ in range(c.num_res_blocks):
+                x = ResBlock(d, dout, name=f"block_{blk}")(x)
+                d = dout
+                blk += 1
+            if i != len(c.dim_mult) - 1:
+                t_down = c.temporal_downsample[i] if i < len(c.temporal_downsample) else False
+                x = Downsample(dout, t_down, name=f"downsample_{i}")(x)
+        x = ResBlock(dims[-1], dims[-1], name="mid_block_1")(x)
+        x = SpatialAttention(dims[-1], name="mid_attn")(x)
+        x = ResBlock(dims[-1], dims[-1], name="mid_block_2")(x)
+        x = ChannelRMSNorm(dims[-1], name="head_norm")(x)
+        x = nn.silu(x)
+        return CausalConv3d(2 * c.z_dim, name="head_conv")(x)
+
+
+class Wan21Decoder3d(nn.Module):
+    """Wan2.1 decoder: upsampling halves channels, stage inputs halved
+    accordingly (reference wan/modules/vae.py:369-460)."""
+
+    cfg: VAEConfig
+
+    @nn.compact
+    def __call__(self, z, first_chunk: bool = True):
+        c = self.cfg
+        mults = tuple(c.dim_mult)
+        dims = [c.base_dim * m for m in (mults[-1],) + mults[::-1]]
+        t_up = tuple(reversed(c.temporal_downsample))
+        x = CausalConv3d(dims[0], name="conv1")(z)
+        x = ResBlock(dims[0], dims[0], name="mid_block_1")(x)
+        x = SpatialAttention(dims[0], name="mid_attn")(x)
+        x = ResBlock(dims[0], dims[0], name="mid_block_2")(x)
+        blk = 0
+        for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
+            d = din // 2 if i in (1, 2, 3) else din
+            for _ in range(c.num_res_blocks + 1):
+                x = ResBlock(d, dout, name=f"block_{blk}")(x)
+                d = dout
+                blk += 1
+            if i != len(mults) - 1:
+                temporal = t_up[i] if i < len(t_up) else False
+                x = Upsample(dout, temporal, out_dim=dout // 2,
+                             name=f"upsample_{i}")(x, first_chunk)
+        x = ChannelRMSNorm(dims[-1], name="head_norm")(x)
+        x = nn.silu(x)
+        return CausalConv3d(3, name="head_conv")(x)
 
 
 class DownStage(nn.Module):
@@ -354,14 +430,20 @@ class WanVAE(nn.Module):
     dec_dim: int = 256
 
     def setup(self):
-        self.encoder = Encoder3d(self.cfg)
-        self.decoder = Decoder3d(self.cfg, self.dec_dim)
+        if self.cfg.arch == "wan21":
+            self.encoder = Wan21Encoder3d(self.cfg)
+            self.decoder = Wan21Decoder3d(self.cfg)
+        else:
+            self.encoder = Encoder3d(self.cfg)
+            self.decoder = Decoder3d(self.cfg, self.dec_dim)
         self.conv1 = CausalConv3d(2 * self.cfg.z_dim, kernel=(1, 1, 1), name="conv1")
         self.conv2 = CausalConv3d(self.cfg.z_dim, kernel=(1, 1, 1), name="conv2")
 
     def _scale(self):
         if self.cfg.z_dim == len(WAN22_LATENT_MEAN):
             return jnp.asarray(WAN22_LATENT_MEAN), jnp.asarray(WAN22_LATENT_STD)
+        if self.cfg.z_dim == len(WAN21_LATENT_MEAN):
+            return jnp.asarray(WAN21_LATENT_MEAN), jnp.asarray(WAN21_LATENT_STD)
         return (jnp.zeros((self.cfg.z_dim,), jnp.float32),
                 jnp.ones((self.cfg.z_dim,), jnp.float32))
 

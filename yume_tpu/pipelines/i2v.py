@@ -1,0 +1,218 @@
+"""Yume-1.0 (Wan2.1-I2V-14B) generation pipeline.
+
+TPU-native equivalent of the reference `wan.Yume` pipeline + 14B sampling
+driver (wan/image2video.py:94-534, fastvideo/sample/sample.py:642-887):
+msk/y channel conditioning, CLIP image features, CFG Euler sampling with
+per-step history re-noising, autoregressive `generate_next` re-conditioning.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import PipelineConfig
+from ..diffusion import samplers
+from ..diffusion.schedule import sampling_sigmas
+from ..models.clip import CLIPVisual, preprocess_frames
+from ..models.dit import WanDiT
+from ..models.t5 import T5Encoder
+from ..models.vae import WanVAE
+
+
+def build_mask_channels(
+    frame_num: int, lat_h: int, lat_w: int, *,
+    cond_pixel_frames: int, batch: int = 1,
+) -> jax.Array:
+    """The 4-channel latent-frame conditioning mask ``msk`` (reference
+    wan/image2video.py:300-320): a per-pixel-frame indicator (1 =
+    conditioning frame) whose first frame is repeated 4× and then grouped
+    into latent frames of 4 — channel c is the intra-group offset.
+
+    cond_pixel_frames: number of leading pixel frames that are conditioning
+    (1 for single-image i2v; F - frame_zero for v2v history mode).
+    Returns [B, F_lat, lat_h, lat_w, 4].
+    """
+    m = np.zeros((frame_num,), np.float32)
+    m[:cond_pixel_frames] = 1.0
+    m = np.concatenate([np.repeat(m[:1], 4), m[1:]])  # F+3
+    f_lat = len(m) // 4
+    m = m.reshape(f_lat, 4)  # [F_lat, 4] — groups of 4, channel = offset
+    msk = np.broadcast_to(m[None, :, None, None, :],
+                          (batch, f_lat, lat_h, lat_w, 4))
+    return jnp.asarray(np.ascontiguousarray(msk))
+
+
+@dataclasses.dataclass(eq=False)
+class I2VPipeline:
+    """Bundles the 14B generation stack."""
+
+    config: PipelineConfig
+    dit: WanDiT
+    dit_params: Any
+    vae: WanVAE
+    vae_params: Any
+    t5: Optional[T5Encoder] = None
+    t5_params: Any = None
+    clip: Optional[CLIPVisual] = None
+    clip_params: Any = None
+    attn_impl: Optional[str] = None
+
+    @classmethod
+    def from_config(
+        cls,
+        config: PipelineConfig,
+        rng: jax.Array,
+        *,
+        init_t5: bool = False,
+        init_clip: bool = False,
+        latent_shape: Tuple[int, int, int] = (3, 8, 8),
+        dtype=jnp.bfloat16,
+    ) -> "I2VPipeline":
+        d_rng, v_rng, t_rng, c_rng = jax.random.split(rng, 4)
+        dit = WanDiT(config.dit, dtype=dtype)
+        f, h, w = latent_shape
+        x = jnp.zeros((1, f, h, w, config.dit.in_dim))
+        t = jnp.zeros((1, f))
+        ctx = jnp.zeros((1, config.dit.text_len, config.dit.text_dim))
+        clip_ctx = None
+        if config.dit.image_context_len:
+            clip_ctx = jnp.zeros((1, config.dit.image_context_len,
+                                  config.clip.dim if config.clip else 1280))
+        dit_params = dit.init(
+            d_rng, x, t, ctx, packed=True,
+            latent_frame_zero=config.latent_frame_zero, clip_context=clip_ctx,
+        )
+
+        vae = WanVAE(config.vae)
+        s = config.vae.stride
+        video = jnp.zeros((1, 1 + (f - 1) * s[0], h * s[1], w * s[2], 3))
+        vae_params = vae.init(v_rng, video)
+
+        t5 = t5_params = clip = clip_params = None
+        if init_t5:
+            t5 = T5Encoder(config.t5, dtype=dtype)
+            ids = jnp.zeros((1, config.t5.text_len), jnp.int32)
+            t5_params = t5.init(t_rng, ids, jnp.ones_like(ids))
+        if init_clip and config.clip is not None:
+            clip = CLIPVisual(config.clip, dtype=dtype)
+            img = jnp.zeros((1, config.clip.image_size, config.clip.image_size, 3))
+            clip_params = clip.init(c_rng, img)
+        return cls(config, dit, dit_params, vae, vae_params, t5, t5_params,
+                   clip, clip_params)
+
+    # -- conditioning ---------------------------------------------------------
+
+    def encode_text(self, ids, mask):
+        ctx = self.t5.apply(self.t5_params, ids, mask)
+        return (ctx * mask[:, :, None]).astype(jnp.float32)
+
+    def clip_features(self, frame: jax.Array) -> jax.Array:
+        """[B, H, W, 3] in [-1,1] → [B, 257, 1280] (reference
+        wan/image2video.py:339-344: CLIP on the conditioning frame)."""
+        x = preprocess_frames(frame, self.config.clip.image_size)
+        return self.clip.apply(self.clip_params, x)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _encode(self, video):
+        return self.vae.apply(self.vae_params, video, method=self.vae.encode)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _decode(self, z):
+        return self.vae.apply(self.vae_params, z, method=self.vae.decode)
+
+    def make_conditioning(
+        self,
+        cond_frames: jax.Array,
+        frame_num: int,
+        *,
+        history_mode: bool = False,
+        frame_zero: int = 32,
+    ) -> jax.Array:
+        """Build the 20-channel ``y`` conditioning (reference
+        wan/image2video.py:288-369): 4 mask channels + VAE-encoded
+        conditioning frames zero-padded to the full duration.
+
+        cond_frames: [B, Fc, H, W, 3] pixel conditioning frames (1 frame for
+        i2v; the history for v2v continuation).
+        """
+        b, fc, h, w, _ = cond_frames.shape
+        s = self.config.vae.stride
+        lat_h, lat_w = h // s[1], w // s[2]
+        pad_frames = frame_num - fc
+        padded = jnp.concatenate(
+            [cond_frames, jnp.zeros((b, pad_frames, h, w, 3), cond_frames.dtype)],
+            axis=1,
+        )
+        z_cond = self._encode(padded)  # [B, F_lat, lat_h, lat_w, 16]
+        msk = build_mask_channels(
+            frame_num, lat_h, lat_w,
+            cond_pixel_frames=fc if history_mode else 1, batch=b,
+        )
+        return jnp.concatenate([msk, z_cond], axis=-1)
+
+    # -- sampling -------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0, 6, 7, 8))
+    def _sample_cfg(self, noise, y, ctx, ctx_null, clip_ctx, steps, shift, guide_scale):
+        sig = sampling_sigmas(steps, shift)
+        lfz = self.config.latent_frame_zero
+
+        def denoise(latent, t_frame, context):
+            x_in = jnp.concatenate([latent, y], axis=-1).astype(jnp.bfloat16)
+            out = self.dit.apply(
+                self.dit_params, x_in, t_frame, context, packed=True,
+                latent_frame_zero=lfz, clip_context=clip_ctx,
+                attn_impl=self.attn_impl,
+            ).astype(latent.dtype)
+            pad = jnp.zeros_like(latent[:, : latent.shape[1] - lfz])
+            return jnp.concatenate([pad, out], axis=1)
+
+        # the 14B loop starts from pure noise everywhere and re-noises the
+        # history prefix every step (reference sample.py:756-790); the
+        # "clean history" is the conditioning latent carried in y[..., 4:]
+        clean_hist = y[..., 4:]
+        latent0 = jnp.concatenate(
+            [clean_hist[:, : noise.shape[1] - lfz], noise[:, -lfz:]], axis=1
+        )
+        return samplers.cfg_euler_sample_segment(
+            denoise, latent0, noise, ctx, ctx_null, sig, lfz, guide_scale
+        )
+
+    def generate(
+        self,
+        cond_frames: jax.Array,
+        ctx: jax.Array,
+        ctx_null: jax.Array,
+        *,
+        frame_num: int = 81,
+        steps: int = 50,
+        shift: Optional[float] = None,
+        guide_scale: float = 5.0,
+        history_mode: bool = False,
+        seed: int = 0,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """One 14B segment: returns (latents [B, F_lat, h, w, 16], decoded
+        video [B, frame_num, H, W, 3])."""
+        shift = self.config.sample_shift if shift is None else shift
+        b, fc, h, w, _ = cond_frames.shape
+        s = self.config.vae.stride
+        f_lat = (frame_num - 1) // s[0] + 1
+        lat_h, lat_w = h // s[1], w // s[2]
+
+        y = self.make_conditioning(cond_frames, frame_num,
+                                   history_mode=history_mode)
+        clip_frame = cond_frames[:, -1] if history_mode else cond_frames[:, 0]
+        clip_ctx = (self.clip_features(clip_frame)
+                    if self.clip is not None else None)
+        noise = jax.random.normal(
+            jax.random.PRNGKey(seed),
+            (b, f_lat, lat_h, lat_w, self.config.vae.z_dim), jnp.float32)
+        latents = self._sample_cfg(noise, y, ctx, ctx_null, clip_ctx,
+                                   steps, shift, guide_scale)
+        return latents, self._decode(latents)

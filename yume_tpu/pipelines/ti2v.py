@@ -27,7 +27,7 @@ from ..models.vae import WanVAE
 from ..utils.masks import masks_like
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)
 class TI2VPipeline:
     """Bundles model definitions + parameters for the 5B generation stack."""
 

@@ -141,6 +141,80 @@ def convert_vae22_state_dict(sd: Mapping[str, Any], num_res_blocks: int = 2) -> 
     return {"params": params}
 
 
+def convert_vae21_state_dict(sd: Mapping[str, Any], num_res_blocks: int = 2,
+                             n_stages: int = 4) -> Dict:
+    """Map a reference Wan2.1 VAE state_dict (wan/modules/vae.py naming —
+    flat Sequential indices mixing ResidualBlocks and Resamples) onto
+    yume_tpu.models.vae.WanVAE (arch='wan21') params."""
+    params: Dict = {}
+
+    def res_block(src: str, dst: str):
+        set_in(params, f"{dst}/norm1/gamma", _t(sd[f"{src}.residual.0.gamma"]).reshape(-1))
+        set_in(params, f"{dst}/conv1/conv/kernel", conv3d_kernel(sd[f"{src}.residual.2.weight"]))
+        set_in(params, f"{dst}/conv1/conv/bias", _t(sd[f"{src}.residual.2.bias"]))
+        set_in(params, f"{dst}/norm2/gamma", _t(sd[f"{src}.residual.3.gamma"]).reshape(-1))
+        set_in(params, f"{dst}/conv2/conv/kernel", conv3d_kernel(sd[f"{src}.residual.6.weight"]))
+        set_in(params, f"{dst}/conv2/conv/bias", _t(sd[f"{src}.residual.6.bias"]))
+        if f"{src}.shortcut.weight" in sd:
+            set_in(params, f"{dst}/shortcut/conv/kernel", conv3d_kernel(sd[f"{src}.shortcut.weight"]))
+            set_in(params, f"{dst}/shortcut/conv/bias", _t(sd[f"{src}.shortcut.bias"]))
+
+    def attn(src: str, dst: str):
+        set_in(params, f"{dst}/norm/gamma", _t(sd[f"{src}.norm.gamma"]).reshape(-1))
+        set_in(params, f"{dst}/to_qkv/kernel", conv1x1_as_dense(sd[f"{src}.to_qkv.weight"]))
+        set_in(params, f"{dst}/to_qkv/bias", _t(sd[f"{src}.to_qkv.bias"]))
+        set_in(params, f"{dst}/proj/kernel", conv1x1_as_dense(sd[f"{src}.proj.weight"]))
+        set_in(params, f"{dst}/proj/bias", _t(sd[f"{src}.proj.bias"]))
+
+    def causal(src: str, dst: str):
+        set_in(params, f"{dst}/conv/kernel", conv3d_kernel(sd[f"{src}.weight"]))
+        set_in(params, f"{dst}/conv/bias", _t(sd[f"{src}.bias"]))
+
+    def resample(src: str, dst: str):
+        set_in(params, f"{dst}/conv_spatial/kernel", conv2d_as_3d_kernel(sd[f"{src}.resample.1.weight"]))
+        set_in(params, f"{dst}/conv_spatial/bias", _t(sd[f"{src}.resample.1.bias"]))
+        if f"{src}.time_conv.weight" in sd:
+            set_in(params, f"{dst}/time_conv/kernel", conv3d_kernel(sd[f"{src}.time_conv.weight"]))
+            set_in(params, f"{dst}/time_conv/bias", _t(sd[f"{src}.time_conv.bias"]))
+
+    causal("encoder.conv1", "encoder/conv1")
+    k = blk = 0
+    for i in range(n_stages):
+        for _ in range(num_res_blocks):
+            res_block(f"encoder.downsamples.{k}", f"encoder/block_{blk}")
+            k += 1
+            blk += 1
+        if i != n_stages - 1:
+            resample(f"encoder.downsamples.{k}", f"encoder/downsample_{i}")
+            k += 1
+    res_block("encoder.middle.0", "encoder/mid_block_1")
+    attn("encoder.middle.1", "encoder/mid_attn")
+    res_block("encoder.middle.2", "encoder/mid_block_2")
+    set_in(params, "encoder/head_norm/gamma", _t(sd["encoder.head.0.gamma"]).reshape(-1))
+    causal("encoder.head.2", "encoder/head_conv")
+
+    causal("conv1", "conv1")
+    causal("conv2", "conv2")
+
+    causal("decoder.conv1", "decoder/conv1")
+    res_block("decoder.middle.0", "decoder/mid_block_1")
+    attn("decoder.middle.1", "decoder/mid_attn")
+    res_block("decoder.middle.2", "decoder/mid_block_2")
+    k = blk = 0
+    for i in range(n_stages):
+        for _ in range(num_res_blocks + 1):
+            res_block(f"decoder.upsamples.{k}", f"decoder/block_{blk}")
+            k += 1
+            blk += 1
+        if i != n_stages - 1:
+            resample(f"decoder.upsamples.{k}", f"decoder/upsample_{i}")
+            k += 1
+    set_in(params, "decoder/head_norm/gamma", _t(sd["decoder.head.0.gamma"]).reshape(-1))
+    causal("decoder.head.2", "decoder/head_conv")
+
+    return {"params": params}
+
+
 # ---------------------------------------------------------------------------
 # DiT torch → flax
 # ---------------------------------------------------------------------------
