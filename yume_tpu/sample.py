@@ -1,0 +1,180 @@
+"""Inference driver: t2v / i2v / autoregressive long-video sampling.
+
+TPU-native equivalent of the reference sampling CLIs
+(fastvideo/sample/sample.py, sample_tts.py, sample_5b.py and
+scripts/inference/*.sh):
+
+    python -m yume_tpu.sample --config ti2v-5B --t2v --prompt "..." --smoke
+    python -m yume_tpu.sample --config ti2v-5B --jpg_dir ./jpg \
+        --caption_file ./caption.txt --ckpt_dir ./Yume-5B-720P
+    python -m yume_tpu.sample --config i2v-14B --sde ...   (TTS sampling)
+
+``--smoke`` runs tiny shapes with random weights (fixture-driven smoke run,
+the de-facto integration test mirroring scripts/inference/sample.sh against
+test_video/).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="yume_tpu sampling")
+    p.add_argument("--config", default="ti2v-5B", choices=["ti2v-5B", "i2v-14B"])
+    p.add_argument("--ckpt_dir", default=None, help="dir with DiT/VAE/T5 torch checkpoints")
+    p.add_argument("--t2v", action="store_true")
+    p.add_argument("--prompt", default="Person moves forward (W).Camera remains still (·).")
+    p.add_argument("--neg_prompt", default="")
+    p.add_argument("--jpg_dir", default=None)
+    p.add_argument("--caption_file", default=None,
+                   help="per-line segment control captions (≙ caption.txt)")
+    p.add_argument("--num_euler_timesteps", "--steps", dest="steps", type=int, default=50)
+    p.add_argument("--shift", type=float, default=None)
+    p.add_argument("--guide_scale", type=float, default=5.0)
+    p.add_argument("--frame_num", type=int, default=None)
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--height", type=int, default=704)
+    p.add_argument("--sample_num", type=int, default=1, help="autoregressive segments")
+    p.add_argument("--sde", action="store_true", help="TTS SDE churn sampling")
+    p.add_argument("--time_travel", action="store_true", help="TTS lookahead sampling")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--output_dir", default="./outputs")
+    p.add_argument("--smoke", action="store_true", help="tiny shapes, random weights")
+    p.add_argument("--tokenizer", default=None)
+    return p
+
+
+def load_pipeline(args):
+    from .configs import CONFIGS
+    from .pipelines.ti2v import TI2VPipeline
+
+    cfg = CONFIGS[args.config]()
+    if args.smoke:
+        import dataclasses
+
+        from .configs import DiTConfig, T5Config, VAEConfig
+
+        cfg = dataclasses.replace(
+            cfg,
+            dit=DiTConfig(model_type="ti2v", in_dim=8, out_dim=8, dim=128,
+                          ffn_dim=256, freq_dim=64, text_dim=32, text_len=32,
+                          num_heads=4, num_layers=2, framepack=True),
+            vae=VAEConfig(z_dim=8, base_dim=8, dim_mult=(1, 2, 2),
+                          num_res_blocks=1, temporal_downsample=(True, False),
+                          stride=(2, 8, 8), patchify=2),
+            t5=T5Config(vocab_size=4096, dim=32, dim_attn=32, dim_ffn=48,
+                        num_heads=2, num_layers=1, text_len=32),
+            latent_frame_zero=2,
+        )
+    pipe = TI2VPipeline.from_config(
+        cfg, jax.random.PRNGKey(args.seed), init_t5=True,
+        latent_shape=(3, 4, 4) if args.smoke else (2, 16, 16),
+        dtype=jnp.float32 if args.smoke else jnp.bfloat16,
+    )
+    if args.ckpt_dir:
+        load_torch_weights(pipe, args.ckpt_dir)
+    return cfg, pipe
+
+
+def load_torch_weights(pipe, ckpt_dir: str):
+    """Load released torch checkpoints (safetensors DiT + .pth VAE/T5)."""
+    from .utils.checkpoint import (convert_dit_state_dict,
+                                   convert_t5_state_dict,
+                                   convert_vae22_state_dict,
+                                   load_safetensors_state_dict)
+
+    dit_sd = load_safetensors_state_dict(ckpt_dir)
+    pipe.dit_params = convert_dit_state_dict(dit_sd, pipe.config.dit.num_layers)
+    import torch
+
+    vae_path = os.path.join(ckpt_dir, "Wan2.2_VAE.pth")
+    if os.path.exists(vae_path):
+        pipe.vae_params = convert_vae22_state_dict(
+            torch.load(vae_path, map_location="cpu"))
+    t5_path = os.path.join(ckpt_dir, "models_t5_umt5-xxl-enc-bf16.pth")
+    if os.path.exists(t5_path):
+        pipe.t5_params = convert_t5_state_dict(
+            torch.load(t5_path, map_location="cpu"), pipe.config.t5.num_layers)
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    from .data.tokenizer import Tokenizer
+    from .utils.video import load_image, save_video
+
+    cfg, pipe = load_pipeline(args)
+    tok = Tokenizer(args.tokenizer, seq_len=cfg.t5.text_len,
+                    vocab_size=cfg.t5.vocab_size)
+
+    def encode(text):
+        ids, mask = tok([text])
+        return pipe.encode_text(jnp.asarray(ids), jnp.asarray(mask))
+
+    if args.smoke:
+        size, frame_num, steps = (32, 32), 5, 2
+    else:
+        size = (args.width, args.height)
+        frame_num = args.frame_num or cfg.frame_num
+        steps = args.steps
+
+    captions = [args.prompt]
+    if args.caption_file:
+        captions = [l.strip() for l in open(args.caption_file) if l.strip()]
+
+    t0 = time.time()
+    if args.t2v or args.jpg_dir is None:
+        ctx = encode(captions[0])
+        video = pipe.generate_t2v(
+            ctx, size=size if not args.smoke else (32, 32),
+            frame_num=frame_num, steps=steps, shift=args.shift,
+            seed=args.seed,
+        )
+        first_latents = pipe._encode(video)
+    else:
+        img = load_image(
+            sorted(os.path.join(args.jpg_dir, f) for f in os.listdir(args.jpg_dir)
+                   if f.lower().endswith((".jpg", ".png", ".jpeg")))[0],
+            size=(size[1], size[0]),
+        )
+        # repeat-16 first-frame conditioning (reference sample.py:711)
+        frames = jnp.asarray(np.repeat(img[None], 16, 0))[None]
+        first_latents, _ = pipe.encode_image_conditioning(frames, frame_num)
+        ctx = encode(captions[0])
+        first_latents = pipe.generate_segment(
+            first_latents[:, : -cfg.latent_frame_zero], ctx,
+            steps=steps, shift=args.shift or cfg.sample_shift, seed=args.seed)
+        video = pipe._decode(first_latents)
+
+    out0 = os.path.join(args.output_dir, "segment_000.mp4")
+    save_video(np.asarray(video[0]), out0, fps=cfg.sample_fps)
+    print(f"--> segment 0 written to {out0} "
+          f"({time.time() - t0:.1f}s, frames={video.shape[1]})")
+
+    # autoregressive continuation, one segment per remaining caption
+    latents = first_latents
+    for s in range(1, args.sample_num):
+        cap = captions[min(s, len(captions) - 1)]
+        ctx = encode(cap)
+        t1 = time.time()
+        latents = pipe.generate_segment(
+            latents, ctx, steps=steps, shift=args.shift or 7.0,
+            seed=args.seed + s)
+        tail_video = pipe._decode(latents[:, -cfg.latent_frame_zero:])
+        out = os.path.join(args.output_dir, f"segment_{s:03d}.mp4")
+        save_video(np.asarray(tail_video[0]), out, fps=cfg.sample_fps)
+        print(f"--> Function running time: {time.time() - t1:.4f} s ({out})")
+
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
