@@ -1,0 +1,65 @@
+"""Data layer tests: control parsing (reference fixtures), captions, camera
+decoding, native preprocessing parity, tokenizer."""
+
+import numpy as np
+import pytest
+
+from conftest import has_reference
+from yume_tpu.data.camera import decode_camera_controls, metrics_in_range
+from yume_tpu.data.controls import control_caption, parse_control_txt
+from yume_tpu.data.native import center_crop_resize, u8_to_unit_range
+from yume_tpu.data.tokenizer import Tokenizer
+
+
+def test_control_caption_vocab():
+    cap = control_caption("W+A", "↑→")
+    assert "forward and left (W+A)" in cap
+    assert "tilts up and turns right" in cap
+    assert cap.startswith("This video depicts a city walk scene")
+    # unknown keys fall back to still
+    assert "stands still" in control_caption("X", "·")
+
+
+@pytest.mark.skipif(not has_reference(), reason="no reference fixtures")
+def test_parse_reference_fixture():
+    import glob
+
+    txts = glob.glob("/root/reference/test_video/*/*.txt")
+    assert txts
+    keys, mouse, start, end = parse_control_txt(sorted(txts)[0])
+    assert keys is not None and mouse is not None
+    assert end > start >= 0
+
+
+def test_camera_decode_forward():
+    mats = []
+    for i in range(5):
+        m = np.eye(4)
+        m[2, 3] = 0.1 * i  # move along +z
+        mats.append(m)
+    ctl = decode_camera_controls(np.array(mats))
+    assert all(c["keys"] == "W" for c in ctl)
+    assert all(c["mouse"] == "·" for c in ctl)
+    speed, angle, rot = metrics_in_range(np.array(mats), 0, 5, fps=30)
+    np.testing.assert_allclose(speed, 3.0, atol=1e-6)  # 0.1m / (1/30)s
+    np.testing.assert_allclose(rot, 0.0, atol=1e-6)
+
+
+def test_native_preprocess_parity(rng_np):
+    x = rng_np.integers(0, 256, (3, 40, 60, 3)).astype(np.uint8)
+    a = u8_to_unit_range(x)
+    np.testing.assert_allclose(a, x.astype(np.float32) / 127.5 - 1, atol=1e-6)
+    b = center_crop_resize(x, 20, 30)
+    assert b.shape == (3, 20, 30, 3)
+    assert -1.01 <= b.min() and b.max() <= 1.01
+
+
+def test_tokenizer_fallback():
+    tok = Tokenizer(None, seq_len=16, vocab_size=1000)
+    ids, mask = tok(["Person moves forward (W).", ""])
+    assert ids.shape == (2, 16) and mask.shape == (2, 16)
+    assert mask[0].sum() > 1
+    # deterministic
+    ids2, _ = tok(["Person moves forward (W).", ""])
+    np.testing.assert_array_equal(ids[0], ids2[0])
+    assert ids.max() < 1000
