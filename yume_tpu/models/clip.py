@@ -101,6 +101,69 @@ class CLIPVisual(nn.Module):
         return x
 
 
+class XLMRobertaText(nn.Module):
+    """XLM-RoBERTa-large text tower with CLIP projection head
+    (reference wan/modules/xlm_roberta.py:76-146 + clip.py:303-326
+    XLMRobertaWithHead): post-norm blocks, position ids from the cumulative
+    non-pad mask, masked mean-pool + 2-layer GELU head to the shared
+    embedding space."""
+
+    vocab_size: int = 250002
+    max_seq_len: int = 514
+    pad_id: int = 1
+    dim: int = 1024
+    num_heads: int = 16
+    num_layers: int = 24
+    out_dim: int = 1024
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, ids: jax.Array) -> jax.Array:
+        b, s = ids.shape
+        mask = (ids != self.pad_id).astype(jnp.int32)
+        pos_ids = self.pad_id + jnp.cumsum(mask, axis=1) * mask
+        x = nn.Embed(self.vocab_size, self.dim, name="token_embedding",
+                     dtype=self.dtype)(ids)
+        x = x + nn.Embed(1, self.dim, name="type_embedding",
+                         dtype=self.dtype)(jnp.zeros_like(ids))
+        x = x + nn.Embed(self.max_seq_len, self.dim, name="pos_embedding",
+                         dtype=self.dtype)(pos_ids)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)  # post_norm=True
+
+        n, d = self.num_heads, self.dim // self.num_heads
+        attn_mask = jnp.where(mask[:, None, None, :] > 0, 0.0,
+                              jnp.finfo(jnp.float32).min)
+        for i in range(self.num_layers):
+            name = f"blocks_{i}"
+            h = x
+            q = nn.Dense(self.dim, name=f"{name}_q", dtype=self.dtype)(h)
+            k = nn.Dense(self.dim, name=f"{name}_k", dtype=self.dtype)(h)
+            v = nn.Dense(self.dim, name=f"{name}_v", dtype=self.dtype)(h)
+            q = q.reshape(b, s, n, d)
+            k = k.reshape(b, s, n, d)
+            v = v.reshape(b, s, n, d)
+            sc = jnp.einsum("bqnd,bknd->bnqk", q.astype(jnp.float32),
+                            k.astype(jnp.float32)) * (d ** -0.5) + attn_mask
+            p = jax.nn.softmax(sc, axis=-1)
+            o = jnp.einsum("bnqk,bknd->bqnd", p, v.astype(jnp.float32))
+            o = nn.Dense(self.dim, name=f"{name}_o",
+                         dtype=self.dtype)(o.astype(x.dtype).reshape(b, s, self.dim))
+            x = nn.LayerNorm(epsilon=1e-5, name=f"{name}_norm1")(x + o)
+            f = nn.Dense(4 * self.dim, name=f"{name}_ffn0", dtype=self.dtype)(x)
+            f = nn.gelu(f, approximate=False)
+            f = nn.Dense(self.dim, name=f"{name}_ffn2", dtype=self.dtype)(f)
+            x = nn.LayerNorm(epsilon=1e-5, name=f"{name}_norm2")(x + f)
+
+        # masked mean pool + projection head
+        m = mask[:, :, None].astype(x.dtype)
+        pooled = (x * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1e-6)
+        mid = (self.dim + self.out_dim) // 2
+        h = nn.Dense(mid, use_bias=False, name="head_0", dtype=self.dtype)(pooled)
+        h = nn.gelu(h, approximate=False)
+        return nn.Dense(self.out_dim, use_bias=False, name="head_2",
+                        dtype=self.dtype)(h)
+
+
 def preprocess_frames(frames: jax.Array, image_size: int = 224) -> jax.Array:
     """[-1,1] [B, H, W, 3] frames → CLIP-normalised [B, S, S, 3] via bilinear
     resize (reference uses bicubic; clip.py:494-520 — difference is

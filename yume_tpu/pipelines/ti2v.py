@@ -116,6 +116,27 @@ class TI2VPipeline:
             denoise, latent, sig, lfz, history_t=history_t
         )
 
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
+    def _sample_segment_tts(self, latent, ctx, history_t, steps, shift, lfz,
+                            mode, rng=None):
+        """TTS samplers: 'sde' churn or 'time_travel' lookahead
+        (reference fastvideo/sample/sample_tts.py)."""
+        sig = sampling_sigmas(steps, shift)
+
+        def denoise(lat, t_frame):
+            out = self.dit.apply(
+                self.dit_params, lat.astype(jnp.bfloat16), t_frame, ctx,
+                packed=True, latent_frame_zero=lfz, attn_impl=self.attn_impl,
+            ).astype(lat.dtype)
+            pad = jnp.zeros_like(lat[:, : lat.shape[1] - lfz])
+            return jnp.concatenate([pad, out], axis=1)
+
+        if mode == "sde":
+            return samplers.sde_euler_sample_segment(
+                denoise, latent, sig, lfz, rng, history_t=history_t)
+        return samplers.time_travel_sample_segment(
+            denoise, latent, sig, lfz, history_t=history_t)
+
     @functools.partial(jax.jit, static_argnums=(0,))
     def _decode(self, z):
         return self.vae.apply(self.vae_params, z, method=self.vae.decode)
@@ -159,11 +180,13 @@ class TI2VPipeline:
         steps: int = 4,
         shift: float = 7.0,
         seed: int = 0,
+        sampler: str = "euler",
     ) -> jax.Array:
         """One autoregressive continuation: append `latent_frame_zero` fresh
         noise frames after the history, denoise them (packed history,
         per-frame timesteps), return the grown latent sequence (reference
-        sample_5b.py:920-1100)."""
+        sample_5b.py:920-1100). ``sampler``: 'euler' | 'sde' | 'time_travel'
+        (TTS variants, reference sample_tts.py)."""
         lfz = self.config.latent_frame_zero
         b, f_hist, h, w, c = history_latents.shape
         noise = jax.random.normal(
@@ -171,8 +194,11 @@ class TI2VPipeline:
         )
         latent = jnp.concatenate([history_latents, noise], axis=1)
         history_t = jnp.zeros((b, f_hist), jnp.float32)
-        latent = self._sample_segment(latent, ctx, history_t, steps, shift, lfz)
-        return latent
+        if sampler == "euler":
+            return self._sample_segment(latent, ctx, history_t, steps, shift, lfz)
+        return self._sample_segment_tts(
+            latent, ctx, history_t, steps, shift, lfz, sampler,
+            jax.random.PRNGKey(seed + 7919))
 
     def generate_long(
         self,

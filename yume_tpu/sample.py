@@ -129,6 +129,7 @@ def main(argv=None):
     captions = [args.prompt]
     if args.caption_file:
         captions = [l.strip() for l in open(args.caption_file) if l.strip()]
+    sampler = "sde" if args.sde else ("time_travel" if args.time_travel else "euler")
 
     t0 = time.time()
     if args.t2v or args.jpg_dir is None:
@@ -151,7 +152,8 @@ def main(argv=None):
         ctx = encode(captions[0])
         first_latents = pipe.generate_segment(
             first_latents[:, : -cfg.latent_frame_zero], ctx,
-            steps=steps, shift=args.shift or cfg.sample_shift, seed=args.seed)
+            steps=steps, shift=args.shift or cfg.sample_shift, seed=args.seed,
+            sampler=sampler)
         video = pipe._decode(first_latents)
 
     out0 = os.path.join(args.output_dir, "segment_000.mp4")
@@ -167,7 +169,7 @@ def main(argv=None):
         t1 = time.time()
         latents = pipe.generate_segment(
             latents, ctx, steps=steps, shift=args.shift or 7.0,
-            seed=args.seed + s)
+            seed=args.seed + s, sampler=sampler)
         tail_video = pipe._decode(latents[:, -cfg.latent_frame_zero:])
         out = os.path.join(args.output_dir, f"segment_{s:03d}.mp4")
         save_video(np.asarray(tail_video[0]), out, fps=cfg.sample_fps)
