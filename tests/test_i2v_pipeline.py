@@ -1,0 +1,68 @@
+"""14B (i2v) pipeline tests at tiny scale: mask channels, CFG sampling,
+autoregressive generate_next."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yume_tpu.configs import (CLIPConfig, DiTConfig, PipelineConfig, T5Config,
+                              VAEConfig)
+from yume_tpu.pipelines.i2v import I2VPipeline, build_mask_channels
+
+TINY = PipelineConfig(
+    name="tiny-i2v",
+    dit=DiTConfig(model_type="i2v", in_dim=8 + 2 + 8, out_dim=8, dim=64,
+                  ffn_dim=128, freq_dim=32, text_dim=16, text_len=16,
+                  num_heads=4, num_layers=2, framepack=True,
+                  image_context_len=5),
+    vae=VAEConfig(z_dim=8, base_dim=8, dim_mult=(1, 2, 2), num_res_blocks=1,
+                  temporal_downsample=(True, False), stride=(2, 8, 8),
+                  patchify=2, arch="wan22"),
+    t5=T5Config(vocab_size=64, dim=16, dim_attn=16, dim_ffn=24, num_heads=2,
+                num_layers=1, text_len=16),
+    clip=CLIPConfig(image_size=28, patch_size=14, dim=32, num_heads=2,
+                    num_layers=3, out_tokens=5),
+    latent_frame_zero=2,
+    sample_shift=3.0,
+)
+
+
+def test_mask_channels_first_frame():
+    # i2v mode: only pixel frame 0 is conditioning; after the repeat-4 group
+    # trick, latent frame 0 has all 4 channels = 1, later frames all 0
+    msk = build_mask_channels(9, 4, 4, cond_pixel_frames=1)
+    assert msk.shape == (1, 3, 4, 4, 4)
+    np.testing.assert_allclose(np.asarray(msk[0, 0]), 1.0)
+    np.testing.assert_allclose(np.asarray(msk[0, 1:]), 0.0)
+
+
+def test_mask_channels_history_mode():
+    # v2v: first 6 of 9 pixel frames are conditioning; after the repeat-4
+    # regroup ([f0×4, f1..f8] → groups of 4) latent frame 2 sees [f5,f6,f7,f8]
+    # = [1,0,0,0]
+    msk = build_mask_channels(9, 2, 2, cond_pixel_frames=6)
+    m = np.asarray(msk[0, :, 0, 0, :])  # [F_lat, 4]
+    np.testing.assert_allclose(m[0], 1.0)
+    np.testing.assert_allclose(m[1], 1.0)
+    np.testing.assert_allclose(m[2], [1, 0, 0, 0])
+
+
+def test_i2v_generate_and_next():
+    pipe = I2VPipeline.from_config(
+        TINY, jax.random.PRNGKey(0), init_t5=True, init_clip=True,
+        latent_shape=(3, 4, 4), dtype=jnp.float32,
+    )
+    ids = jnp.zeros((1, 16), jnp.int32)
+    ctx = pipe.encode_text(ids, jnp.ones_like(ids))
+    ctx_null = pipe.encode_text(ids, jnp.ones_like(ids))
+    img = jnp.zeros((1, 1, 32, 32, 3))
+    latents, video = pipe.generate(img, ctx, ctx_null, frame_num=5, steps=2,
+                                   guide_scale=5.0)
+    assert latents.shape == (1, 3, 4, 4, 8)
+    assert video.shape == (1, 5, 32, 32, 3)
+    assert np.isfinite(np.asarray(video)).all()
+
+    latents2, video2 = pipe.generate_next(video, ctx, ctx_null, frame_zero=4,
+                                          steps=2)
+    assert video2.shape[1] == 9
+    assert np.isfinite(np.asarray(video2)).all()

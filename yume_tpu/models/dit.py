@@ -248,13 +248,16 @@ class DiTBlock(nn.Module):
         y = SelfAttention(c, name="self_attn")(h.astype(x.dtype), rope_cos, rope_sin, attn_impl)
         x = (x.astype(jnp.float32) + y.astype(jnp.float32) * e(2)).astype(x.dtype)
 
-        # cross-attention (norm3 affine iff cross_attn_norm)
+        # cross-attention (norm3 affine iff cross_attn_norm). A callable
+        # attn_impl is a sequence-parallel self-attention (Ulysses/ring);
+        # cross-attention runs per-shard against the replicated text kv.
         if c.cross_attn_norm:
             h = AffineLayerNorm(c.dim, c.eps, name="norm3")(x)
         else:
             h = x
+        cross_impl = None if callable(attn_impl) else attn_impl
         cross_cls = I2VCrossAttention if c.image_context_len else CrossAttention
-        x = x + cross_cls(c, name="cross_attn")(h, context, attn_impl)
+        x = x + cross_cls(c, name="cross_attn")(h, context, cross_impl)
 
         # FFN
         h = _layer_norm(x, c.eps) * (1.0 + e(4)) + e(3)
@@ -701,3 +704,46 @@ class WanDiT(nn.Module):
         x = x.reshape(b, f, h, w, pt, ph, pw, c.out_dim)
         x = jnp.einsum("bfhwpqrc->bfphqwrc", x)
         return x.reshape(b, f * pt, h * ph, w * pw, c.out_dim)
+
+    # -- token-level entry points for sequence parallelism --------------------
+
+    def embed_packed(self, x, t_frame, context, latent_frame_zero,
+                     clip_context=None):
+        """Embedding + conditioning prep only (no transformer blocks):
+        returns a dict of per-token tensors for an external trunk runner
+        (the SP driver shard-maps the trunk over the token axis, ≙ reference
+        sp_dit_forward chunking between embed and head,
+        wan23/distributed/sequence_parallel.py:64-146)."""
+        c = self.cfg
+        b, f, h_lat, w_lat, _ = x.shape
+        f_hist = f - latent_frame_zero
+        plan = framepack_plan(f_hist)
+        xc = x.astype(self.dtype)
+        tok_parts, grids = [], []
+        for ch in plan:
+            toks, grid = self._embed_chunk(xc[:, ch.start:ch.stop], ch.scale, ch.double_f)
+            tok_parts.append(toks)
+            grids.append(grid)
+        tail_toks, tail_grid = self._embed_chunk(xc[:, f_hist:], 1, False)
+        tok_parts.append(tail_toks)
+        grids.append(tail_grid)
+        tokens = jnp.concatenate(tok_parts, axis=1)
+        l_hist = tokens.shape[1] - tail_toks.shape[1]
+        l = tokens.shape[1]
+        cos, sin = rope_lib.framepack_rope(grids, c.head_dim, max_len=c.rope_max_len,
+                                           theta=c.rope_theta)
+        t_vals = jnp.stack([t_frame[:, 0], t_frame[:, -1]], axis=1)
+        idx = jnp.broadcast_to(
+            (jnp.arange(l) >= l_hist).astype(jnp.int32)[None, :], (b, l))
+        ctx = self._context(context, clip_context)
+        return dict(tokens=tokens, t_values=t_vals, idx=idx, ctx=ctx,
+                    cos=jnp.asarray(cos), sin=jnp.asarray(sin),
+                    l_hist=l_hist, tail_grid=tail_grid)
+
+    def trunk_head(self, tokens, t_values, idx, ctx, cos, sin,
+                   attn_impl=None):
+        """Blocks + head over pre-embedded tokens (per-token compute only —
+        safe to shard along the token axis inside shard_map)."""
+        mod = self._time_mod(t_values, idx)
+        out, mod_out = self._trunk(tokens, mod, ctx, cos, sin, attn_impl, None)
+        return self.head(out, mod_out)

@@ -55,7 +55,10 @@ def attention(
     impl: Optional[str] = None,
 ) -> jax.Array:
     """Multi-head attention over [B, L, N, D] (same layout as the reference
-    wan attention wrapper)."""
+    wan attention wrapper). ``impl`` may be a callable (q, k, v) -> out for
+    custom paths (e.g. a shard_map-bound Ulysses/ring attention)."""
+    if callable(impl):
+        return impl(q, k, v)
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":

@@ -27,7 +27,7 @@ from ..models.vae import WanVAE
 
 def build_mask_channels(
     frame_num: int, lat_h: int, lat_w: int, *,
-    cond_pixel_frames: int, batch: int = 1,
+    cond_pixel_frames: int, batch: int = 1, stride_t: int = 4,
 ) -> jax.Array:
     """The 4-channel latent-frame conditioning mask ``msk`` (reference
     wan/image2video.py:300-320): a per-pixel-frame indicator (1 =
@@ -40,11 +40,13 @@ def build_mask_channels(
     """
     m = np.zeros((frame_num,), np.float32)
     m[:cond_pixel_frames] = 1.0
-    m = np.concatenate([np.repeat(m[:1], 4), m[1:]])  # F+3
-    f_lat = len(m) // 4
-    m = m.reshape(f_lat, 4)  # [F_lat, 4] — groups of 4, channel = offset
+    # first pixel frame repeated stride_t× then grouped per latent frame;
+    # channel count = temporal VAE stride (4 for Wan2.1)
+    m = np.concatenate([np.repeat(m[:1], stride_t), m[1:]])
+    f_lat = len(m) // stride_t
+    m = m.reshape(f_lat, stride_t)
     msk = np.broadcast_to(m[None, :, None, None, :],
-                          (batch, f_lat, lat_h, lat_w, 4))
+                          (batch, f_lat, lat_h, lat_w, stride_t))
     return jnp.asarray(np.ascontiguousarray(msk))
 
 
@@ -153,6 +155,7 @@ class I2VPipeline:
         msk = build_mask_channels(
             frame_num, lat_h, lat_w,
             cond_pixel_frames=fc if history_mode else 1, batch=b,
+            stride_t=s[0],
         )
         return jnp.concatenate([msk, z_cond], axis=-1)
 
@@ -175,8 +178,9 @@ class I2VPipeline:
 
         # the 14B loop starts from pure noise everywhere and re-noises the
         # history prefix every step (reference sample.py:756-790); the
-        # "clean history" is the conditioning latent carried in y[..., 4:]
-        clean_hist = y[..., 4:]
+        # "clean history" is the conditioning latent carried after the
+        # stride_t mask channels of y
+        clean_hist = y[..., self.config.vae.stride[0]:]
         latent0 = jnp.concatenate(
             [clean_hist[:, : noise.shape[1] - lfz], noise[:, -lfz:]], axis=1
         )
@@ -216,3 +220,26 @@ class I2VPipeline:
         latents = self._sample_cfg(noise, y, ctx, ctx_null, clip_ctx,
                                    steps, shift, guide_scale)
         return latents, self._decode(latents)
+
+    def generate_next(
+        self,
+        history_video: jax.Array,
+        ctx: jax.Array,
+        ctx_null: jax.Array,
+        *,
+        frame_zero: int = 32,
+        steps: int = 50,
+        shift: Optional[float] = None,
+        guide_scale: float = 5.0,
+        seed: int = 0,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Autoregressive continuation: re-condition on the decoded history
+        video and denoise ``frame_zero`` new pixel frames (reference
+        `generate_next`, wan/image2video.py:404-534 +
+        fastvideo/sample/sample.py:864-885)."""
+        b, fh, h, w, _ = history_video.shape
+        frame_num = fh + frame_zero
+        return self.generate(
+            history_video, ctx, ctx_null, frame_num=frame_num, steps=steps,
+            shift=shift, guide_scale=guide_scale, history_mode=True, seed=seed,
+        )

@@ -193,7 +193,47 @@ def main(argv=None):
             save_checkpoint(args.output_dir, state, step + 1)
             main_print(f"checkpoint saved at step {step + 1}")
 
+        if args.validation_steps and (step + 1) % args.validation_steps == 0:
+            _validation_rollout(args, dit, state, batch, lfz, step + 1)
+
     return 0
+
+
+def _validation_rollout(args, dit, state, batch, lfz, step):
+    """In-training validation: denoise a segment from the current EMA params
+    and export the latents (decoded when a VAE is wired) — reference
+    distill_model.py:368-425 (50-step rollout to ./generated_test_video)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .diffusion import samplers
+    from .diffusion.schedule import sampling_sigmas
+    from .utils.logging_ import main_print
+
+    latents = batch["latents"][:1]
+    ctx = batch["context"][:1]
+    b, f = latents.shape[:2]
+    noise = jax.random.normal(jax.random.PRNGKey(step), latents.shape)
+    latent0 = jnp.concatenate(
+        [latents[:, :f - lfz], noise[:, f - lfz:]], axis=1)
+
+    def denoise(lat, t_frame):
+        out = dit.apply(state.ema_params, lat, t_frame, ctx, packed=True,
+                        latent_frame_zero=lfz)
+        pad = jnp.zeros_like(lat[:, : f - lfz])
+        return jnp.concatenate([pad, out], axis=1)
+
+    sig = sampling_sigmas(10 if args.smoke else 50, 3.0)
+    rolled = samplers.euler_sample_segment(
+        denoise, latent0, sig, lfz,
+        history_t=jnp.zeros((b, f - lfz)))
+    out_dir = os.path.join(args.output_dir, "generated_test_video")
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"val_latents_step{step}.npy")
+    np.save(path, np.asarray(rolled))
+    mse = float(jnp.mean((rolled[:, -lfz:] - latents[:, -lfz:]) ** 2))
+    main_print(f"validation @ step {step}: tail-latent MSE {mse:.4f} → {path}")
 
 
 if __name__ == "__main__":
