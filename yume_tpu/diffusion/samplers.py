@@ -87,6 +87,40 @@ def euler_sample_segment(
     return latent
 
 
+def dual_model_euler_sample(
+    denoise_high: DenoiseFn,
+    denoise_low: DenoiseFn,
+    noise: jax.Array,
+    sigmas: np.ndarray,
+    *,
+    boundary: float = 0.875,
+) -> jax.Array:
+    """Dual low/high-noise expert sampling (stock Wan2.2 I2V 'MoE':
+    reference wan23/image2video.py:104-120, 388-391 — the high-noise model
+    handles σ ≥ boundary, the low-noise model the rest; the reference swaps
+    models between steps via CPU⇄GPU offload, here the sigma ladder is
+    statically split into two scans)."""
+    sig = np.asarray(sigmas, np.float32)
+    split = int(np.sum(sig[:-1] >= boundary))
+    b, f = noise.shape[:2]
+
+    def run(fn, latent, ladder):
+        if len(ladder) < 2:
+            return latent
+
+        def step(latent, s):
+            s_i, s_n = s[0], s[1]
+            v = fn(latent, jnp.full((b, f), s_i * 1000.0))
+            return latent + (s_n - s_i) * v, None
+
+        pairs = jnp.stack([jnp.asarray(ladder[:-1]), jnp.asarray(ladder[1:])], axis=1)
+        latent, _ = jax.lax.scan(step, latent, pairs)
+        return latent
+
+    latent = run(denoise_high, noise, sig[: split + 1])
+    return run(denoise_low, latent, sig[split:])
+
+
 def cfg_euler_sample_segment(
     denoise_fn: Callable[[jax.Array, jax.Array, jax.Array], jax.Array],
     latent: jax.Array,

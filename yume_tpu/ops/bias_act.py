@@ -102,19 +102,25 @@ def _kernel(x_ref, b_ref, o_ref, *, act, alpha, gain, clamp, has_bias):
 def _forward_pallas(x2, b, act, alpha, gain, clamp):
     n, c = x2.shape
     has_bias = b is not None
+    # row-blocked grid so arbitrarily large inputs stay within VMEM
+    block_n = min(n, max(8, (1 << 21) // max(c, 1)))  # ~2M elements per block
+    grid = (_cdiv_ba(n, block_n),)
     args = (x2, b) if has_bias else (x2,)
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
-    # simple whole-array kernel; rows fit VMEM for head-sized tensors
-    in_specs = [pl.BlockSpec((n, c), lambda: (0, 0))]
+    in_specs = [pl.BlockSpec((block_n, c), lambda i: (i, 0))]
     if has_bias:
-        in_specs.append(pl.BlockSpec((c,), lambda: (0,)))
+        in_specs.append(pl.BlockSpec((c,), lambda i: (0,)))
     return pl.pallas_call(
         functools.partial(_kernel, act=act, alpha=alpha, gain=gain,
                           clamp=clamp, has_bias=has_bias),
+        grid=grid,
         out_shape=jax.ShapeDtypeStruct((n, c), x2.dtype),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((n, c), lambda: (0, 0)),
+        out_specs=pl.BlockSpec((block_n, c), lambda i: (i, 0)),
     )(*args)
+
+
+def _cdiv_ba(a, b):
+    return -(-a // b)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))

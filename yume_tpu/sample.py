@@ -108,6 +108,10 @@ def main(argv=None):
     args = build_argparser().parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
 
+    from .utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from .data.tokenizer import Tokenizer
     from .utils.video import load_image, save_video
 

@@ -75,6 +75,10 @@ poll();
 def load_models(args):
     import jax
 
+    from ..utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from ..configs import CONFIGS
     from ..data.tokenizer import Tokenizer
     from ..pipelines.ti2v import TI2VPipeline

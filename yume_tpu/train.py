@@ -48,6 +48,10 @@ def main(argv=None):
     args = build_argparser().parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
 
+    from .utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import dataclasses
 
     from .configs import CONFIGS, DiTConfig

@@ -1,0 +1,22 @@
+"""Runtime defaults: persistent compilation cache.
+
+Autoregressive rollout compiles one program per FramePack history bucket;
+the persistent cache makes later segments and later runs start instantly
+(first compile of the 5B DiT is ~25 s on-device, minutes on a 1-core host).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_compilation_cache(path: str | None = None):
+    import jax
+
+    path = path or os.environ.get("YUME_CACHE_DIR", os.path.expanduser("~/.cache/yume_tpu_xla"))
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
