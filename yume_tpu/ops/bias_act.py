@@ -88,7 +88,8 @@ def bias_act_xla(x, b=None, *, dim=-1, act="linear", alpha=None, gain=None,
 # -- pallas forward kernel ---------------------------------------------------
 
 
-def _kernel(x_ref, b_ref, o_ref, *, act, alpha, gain, clamp, has_bias):
+def _kernel(x_ref, *refs, act, alpha, gain, clamp, has_bias):
+    b_ref, o_ref = refs if has_bias else (None, refs[0])
     x = x_ref[...].astype(jnp.float32)
     if has_bias:
         x = x + b_ref[...].astype(jnp.float32)[None, :]
@@ -102,8 +103,11 @@ def _kernel(x_ref, b_ref, o_ref, *, act, alpha, gain, clamp, has_bias):
 def _forward_pallas(x2, b, act, alpha, gain, clamp):
     n, c = x2.shape
     has_bias = b is not None
-    # row-blocked grid so arbitrarily large inputs stay within VMEM
-    block_n = min(n, max(8, (1 << 21) // max(c, 1)))  # ~2M elements per block
+    # row-blocked grid so arbitrarily large inputs stay within VMEM;
+    # sublane dim must be 8-aligned (or the full array)
+    block_n = max(8, ((1 << 18) // max(c, 1)) // 8 * 8)  # ~256K elements (fp32 staging fits VMEM)
+    if block_n >= n:
+        block_n = n
     grid = (_cdiv_ba(n, block_n),)
     args = (x2, b) if has_bias else (x2,)
     in_specs = [pl.BlockSpec((block_n, c), lambda i: (i, 0))]
