@@ -99,3 +99,29 @@ def test_decoder_matches_reference(rng_np):
     got_t = np.asarray(got).transpose(0, 4, 1, 2, 3)
     assert got_t.shape == want.shape
     np.testing.assert_allclose(got_t, np.clip(want, -1, 1), atol=2e-4, rtol=2e-3)
+
+
+def test_streaming_encode_matches_full_clip(rng_np):
+    from yume_tpu.models.vae import streaming_encode
+
+    model = WanVAE(TINY, dec_dim=24)
+    video = jnp.asarray(rng_np.standard_normal((1, 9, 32, 32, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), video)
+    full = model.apply(params, video, method=model.encode)
+    stream = streaming_encode(model, params, video)
+    np.testing.assert_allclose(np.asarray(stream), np.asarray(full),
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_streaming_decode_matches_full_clip(rng_np):
+    from yume_tpu.models.vae import streaming_decode
+
+    model = WanVAE(TINY, dec_dim=24)
+    video = jnp.zeros((1, 5, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), video)
+    z = jnp.asarray(rng_np.standard_normal((1, 3, 2, 2, 8)).astype(np.float32))
+    full = model.apply(params, z, method=model.decode)
+    stream = streaming_decode(model, params, z)
+    assert stream.shape == full.shape
+    np.testing.assert_allclose(np.asarray(stream), np.asarray(full),
+                               atol=1e-4, rtol=1e-3)

@@ -57,8 +57,35 @@ WAN22_LATENT_STD = np.array([
 ], np.float32)
 
 
+class CacheIO:
+    """Streaming feature-cache threading (≙ the reference's feat_cache list +
+    feat_idx counter, vae2_2.py:874-881): modules consume caches in call
+    order via get() and emit updated ones via put(). caches_in=None marks
+    the first chunk (every conv zero-pads and seeds its cache)."""
+
+    def __init__(self, caches_in=None):
+        self.caches_in = caches_in
+        self.idx = 0
+        self.out = []
+
+    def get(self):
+        if self.caches_in is None:
+            return None
+        c = self.caches_in[self.idx]
+        self.idx += 1
+        return c
+
+    def put(self, c):
+        self.out.append(c)
+
+
 class CausalConv3d(nn.Module):
-    """3D conv, causal in time (2·pad_t zeros prepended), SAME in space."""
+    """3D conv, causal in time (2·pad_t zeros prepended), SAME in space.
+
+    With ``io`` given, runs in streaming mode: the time padding is replaced
+    by the cached trailing ``tp`` frames of the previous chunk's input
+    (zero-seeded on the first chunk) — exactly the reference's cached
+    CausalConv3d semantics (vae2_2.py:17-44)."""
 
     features: int
     kernel: Tuple[int, int, int] = (3, 3, 3)
@@ -66,12 +93,22 @@ class CausalConv3d(nn.Module):
     time_pad: int | None = None  # default: 2 * (kt // 2)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, io: "CacheIO | None" = None):
         kt, kh, kw = self.kernel
         tp = 2 * (kt // 2) if self.time_pad is None else self.time_pad
-        pad = [(tp, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)]
+        if tp > 0:
+            if io is not None:
+                cache = io.get()
+                if cache is None:
+                    cache = jnp.zeros(
+                        (x.shape[0], tp) + x.shape[2:], x.dtype)
+                x = jnp.concatenate([cache, x], axis=1)
+                io.put(x[:, -tp:])
+            else:
+                x = jnp.pad(x, ((0, 0), (tp, 0), (0, 0), (0, 0), (0, 0)))
         return nn.Conv(
-            self.features, self.kernel, strides=self.strides, padding=pad,
+            self.features, self.kernel, strides=self.strides,
+            padding=[(0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)],
             name="conv", dtype=x.dtype,
         )(x)
 
@@ -98,13 +135,13 @@ class ResBlock(nn.Module):
     out_dim: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, io: CacheIO | None = None):
         h = ChannelRMSNorm(self.in_dim, name="norm1")(x)
         h = nn.silu(h)
-        h = CausalConv3d(self.out_dim, name="conv1")(h)
+        h = CausalConv3d(self.out_dim, name="conv1")(h, io)
         h = ChannelRMSNorm(self.out_dim, name="norm2")(h)
         h = nn.silu(h)
-        h = CausalConv3d(self.out_dim, name="conv2")(h)
+        h = CausalConv3d(self.out_dim, name="conv2")(h, io)
         if self.in_dim != self.out_dim:
             x = CausalConv3d(self.out_dim, kernel=(1, 1, 1), name="shortcut")(x)
         return x + h
@@ -208,7 +245,7 @@ class Downsample(nn.Module):
     temporal: bool
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, io: CacheIO | None = None):
         b, t, h, w, c = x.shape
         # ZeroPad2d((0,1,0,1)) + 3x3 stride-2 conv, per frame
         y = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)))
@@ -216,9 +253,15 @@ class Downsample(nn.Module):
                     name="conv_spatial", dtype=x.dtype)(y)
         if self.temporal:
             # cached-path equivalent: first frame identity + stride-2 valid
-            # conv with windows anchored at frame 0
+            # conv with windows anchored at frame 0 (vae2_2.py:159-170)
             conv = nn.Conv(self.dim, (3, 1, 1), strides=(2, 1, 1),
                            padding="VALID", name="time_conv", dtype=x.dtype)
+            if io is not None:
+                cache = io.get()
+                io.put(y[:, -1:])
+                if cache is None:
+                    return y  # first chunk: passthrough, no temporal conv
+                return conv(jnp.concatenate([cache, y], axis=1))
             rest = conv(y)
             y = jnp.concatenate([y[:, :1], rest], axis=1)
         return y
@@ -235,23 +278,41 @@ class Upsample(nn.Module):
     out_dim: int | None = None
 
     @nn.compact
-    def __call__(self, x, first_chunk: bool = True):
+    def __call__(self, x, first_chunk: bool = True,
+                 io: CacheIO | None = None):
         if self.temporal:
             b, t, h, w, c = x.shape
             # causal conv over [0, u1, ..., u_{T-1}] (frame 0 zeroed per the
-            # reference "Rep" semantics), drop output 0, split channels 2x
-            conv = nn.Conv(2 * self.dim, (3, 1, 1), padding=[(2, 0), (0, 0), (0, 0)],
+            # reference "Rep" semantics, vae2_2.py:116-153), drop output 0,
+            # split channels 2x. VALID conv; padding supplied by the caller
+            # (zeros at the stream start, the 2-frame cache afterwards).
+            conv = nn.Conv(2 * self.dim, (3, 1, 1), padding="VALID",
                            name="time_conv", dtype=x.dtype)
-            if first_chunk:
-                v = jnp.concatenate([jnp.zeros_like(x[:, :1]), x[:, 1:]], axis=1)
+
+            def double(y, frames):
+                y = y.reshape(b, frames, h, w, 2, c)
+                return y.transpose(0, 1, 4, 2, 3, 5).reshape(
+                    b, 2 * frames, h, w, c)
+
+            if io is not None:
+                cache = io.get()
+                if cache is None:
+                    # first chunk: passthrough un-doubled; cache seeds with
+                    # zeros — the "Rep" marker (frame 0 never enters the conv)
+                    io.put(jnp.zeros((b, 2, h, w, c), x.dtype))
+                else:
+                    x_in = jnp.concatenate([cache, x], axis=1)
+                    io.put(x_in[:, -2:])
+                    x = double(conv(x_in), t)
+            elif first_chunk:
+                v = jnp.concatenate([
+                    jnp.zeros((b, 2, h, w, c), x.dtype),
+                    jnp.zeros_like(x[:, :1]), x[:, 1:]], axis=1)
                 y = conv(v)[:, 1:]  # [B, T-1, H, W, 2C]
-                y = y.reshape(b, t - 1, h, w, 2, c)
-                y = y.transpose(0, 1, 4, 2, 3, 5).reshape(b, 2 * (t - 1), h, w, c)
-                x = jnp.concatenate([x[:, :1], y], axis=1)
+                x = jnp.concatenate([x[:, :1], double(y, t - 1)], axis=1)
             else:
-                y = conv(x)
-                y = y.reshape(b, t, h, w, 2, c)
-                x = y.transpose(0, 1, 4, 2, 3, 5).reshape(b, 2 * t, h, w, c)
+                v = jnp.pad(x, ((0, 0), (2, 0), (0, 0), (0, 0), (0, 0)))
+                x = double(conv(v), t)
         b, t, h, w, c = x.shape
         # nearest-exact 2x then 3x3 conv, per frame
         y = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
@@ -268,26 +329,26 @@ class Wan21Encoder3d(nn.Module):
     cfg: VAEConfig
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, io: CacheIO | None = None):
         c = self.cfg
         dims = [c.base_dim * m for m in (1,) + tuple(c.dim_mult)]
-        x = CausalConv3d(dims[0], name="conv1")(x)
+        x = CausalConv3d(dims[0], name="conv1")(x, io)
         blk = 0
         for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
             d = din
             for _ in range(c.num_res_blocks):
-                x = ResBlock(d, dout, name=f"block_{blk}")(x)
+                x = ResBlock(d, dout, name=f"block_{blk}")(x, io)
                 d = dout
                 blk += 1
             if i != len(c.dim_mult) - 1:
                 t_down = c.temporal_downsample[i] if i < len(c.temporal_downsample) else False
-                x = Downsample(dout, t_down, name=f"downsample_{i}")(x)
-        x = ResBlock(dims[-1], dims[-1], name="mid_block_1")(x)
+                x = Downsample(dout, t_down, name=f"downsample_{i}")(x, io)
+        x = ResBlock(dims[-1], dims[-1], name="mid_block_1")(x, io)
         x = SpatialAttention(dims[-1], name="mid_attn")(x)
-        x = ResBlock(dims[-1], dims[-1], name="mid_block_2")(x)
+        x = ResBlock(dims[-1], dims[-1], name="mid_block_2")(x, io)
         x = ChannelRMSNorm(dims[-1], name="head_norm")(x)
         x = nn.silu(x)
-        return CausalConv3d(2 * c.z_dim, name="head_conv")(x)
+        return CausalConv3d(2 * c.z_dim, name="head_conv")(x, io)
 
 
 class Wan21Decoder3d(nn.Module):
@@ -297,29 +358,29 @@ class Wan21Decoder3d(nn.Module):
     cfg: VAEConfig
 
     @nn.compact
-    def __call__(self, z, first_chunk: bool = True):
+    def __call__(self, z, first_chunk: bool = True, io: CacheIO | None = None):
         c = self.cfg
         mults = tuple(c.dim_mult)
         dims = [c.base_dim * m for m in (mults[-1],) + mults[::-1]]
         t_up = tuple(reversed(c.temporal_downsample))
-        x = CausalConv3d(dims[0], name="conv1")(z)
-        x = ResBlock(dims[0], dims[0], name="mid_block_1")(x)
+        x = CausalConv3d(dims[0], name="conv1")(z, io)
+        x = ResBlock(dims[0], dims[0], name="mid_block_1")(x, io)
         x = SpatialAttention(dims[0], name="mid_attn")(x)
-        x = ResBlock(dims[0], dims[0], name="mid_block_2")(x)
+        x = ResBlock(dims[0], dims[0], name="mid_block_2")(x, io)
         blk = 0
         for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
             d = din // 2 if i in (1, 2, 3) else din
             for _ in range(c.num_res_blocks + 1):
-                x = ResBlock(d, dout, name=f"block_{blk}")(x)
+                x = ResBlock(d, dout, name=f"block_{blk}")(x, io)
                 d = dout
                 blk += 1
             if i != len(mults) - 1:
                 temporal = t_up[i] if i < len(t_up) else False
                 x = Upsample(dout, temporal, out_dim=dout // 2,
-                             name=f"upsample_{i}")(x, first_chunk)
+                             name=f"upsample_{i}")(x, first_chunk, io)
         x = ChannelRMSNorm(dims[-1], name="head_norm")(x)
         x = nn.silu(x)
-        return CausalConv3d(3, name="head_conv")(x)
+        return CausalConv3d(3, name="head_conv")(x, io)
 
 
 class DownStage(nn.Module):
@@ -333,17 +394,17 @@ class DownStage(nn.Module):
     down: bool
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, io: CacheIO | None = None):
         shortcut = avg_down3d(
             x, self.out_dim, 2 if self.temporal else 1, 2 if self.down else 1
         )
         h = x
         d = self.in_dim
         for i in range(self.num_blocks):
-            h = ResBlock(d, self.out_dim, name=f"block_{i}")(h)
+            h = ResBlock(d, self.out_dim, name=f"block_{i}")(h, io)
             d = self.out_dim
         if self.down:
-            h = Downsample(self.out_dim, self.temporal, name="downsample")(h)
+            h = Downsample(self.out_dim, self.temporal, name="downsample")(h, io)
         return h + shortcut
 
 
@@ -358,14 +419,14 @@ class UpStage(nn.Module):
     up: bool
 
     @nn.compact
-    def __call__(self, x, first_chunk: bool = True):
+    def __call__(self, x, first_chunk: bool = True, io: CacheIO | None = None):
         h = x
         d = self.in_dim
         for i in range(self.num_blocks):
-            h = ResBlock(d, self.out_dim, name=f"block_{i}")(h)
+            h = ResBlock(d, self.out_dim, name=f"block_{i}")(h, io)
             d = self.out_dim
         if self.up:
-            h = Upsample(self.out_dim, self.temporal, name="upsample")(h, first_chunk)
+            h = Upsample(self.out_dim, self.temporal, name="upsample")(h, first_chunk, io)
             shortcut = dup_up3d(
                 x, self.out_dim, 2 if self.temporal else 1, 2, first_chunk
             )
@@ -379,20 +440,20 @@ class Encoder3d(nn.Module):
     cfg: VAEConfig
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, io: CacheIO | None = None):
         c = self.cfg
         dims = [c.base_dim * m for m in (1,) + tuple(c.dim_mult)]
-        x = CausalConv3d(dims[0], name="conv1")(x)
+        x = CausalConv3d(dims[0], name="conv1")(x, io)
         for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
             t_down = c.temporal_downsample[i] if i < len(c.temporal_downsample) else False
             x = DownStage(din, dout, c.num_res_blocks, t_down,
-                          down=i != len(c.dim_mult) - 1, name=f"down_{i}")(x)
-        x = ResBlock(dims[-1], dims[-1], name="mid_block_1")(x)
+                          down=i != len(c.dim_mult) - 1, name=f"down_{i}")(x, io)
+        x = ResBlock(dims[-1], dims[-1], name="mid_block_1")(x, io)
         x = SpatialAttention(dims[-1], name="mid_attn")(x)
-        x = ResBlock(dims[-1], dims[-1], name="mid_block_2")(x)
+        x = ResBlock(dims[-1], dims[-1], name="mid_block_2")(x, io)
         x = ChannelRMSNorm(dims[-1], name="head_norm")(x)
         x = nn.silu(x)
-        return CausalConv3d(2 * c.z_dim, name="head_conv")(x)
+        return CausalConv3d(2 * c.z_dim, name="head_conv")(x, io)
 
 
 class Decoder3d(nn.Module):
@@ -403,23 +464,23 @@ class Decoder3d(nn.Module):
     dec_dim: int = 256
 
     @nn.compact
-    def __call__(self, z, first_chunk: bool = True):
+    def __call__(self, z, first_chunk: bool = True, io: CacheIO | None = None):
         c = self.cfg
         mults = tuple(c.dim_mult)
         dims = [self.dec_dim * m for m in (mults[-1],) + mults[::-1]]
         t_up = tuple(reversed(c.temporal_downsample))
-        x = CausalConv3d(dims[0], name="conv1")(z)
-        x = ResBlock(dims[0], dims[0], name="mid_block_1")(x)
+        x = CausalConv3d(dims[0], name="conv1")(z, io)
+        x = ResBlock(dims[0], dims[0], name="mid_block_1")(x, io)
         x = SpatialAttention(dims[0], name="mid_attn")(x)
-        x = ResBlock(dims[0], dims[0], name="mid_block_2")(x)
+        x = ResBlock(dims[0], dims[0], name="mid_block_2")(x, io)
         for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
             temporal = t_up[i] if i < len(t_up) else False
             x = UpStage(din, dout, c.num_res_blocks + 1, temporal,
-                        up=i != len(mults) - 1, name=f"up_{i}")(x, first_chunk)
+                        up=i != len(mults) - 1, name=f"up_{i}")(x, first_chunk, io)
         x = ChannelRMSNorm(dims[-1], name="head_norm")(x)
         x = nn.silu(x)
         out_ch = 3 * c.patchify * c.patchify
-        return CausalConv3d(out_ch, name="head_conv")(x)
+        return CausalConv3d(out_ch, name="head_conv")(x, io)
 
 
 class WanVAE(nn.Module):
@@ -467,3 +528,54 @@ class WanVAE(nn.Module):
     def __call__(self, video):
         z = self.encode(video)
         return self.decode(z), z
+
+    # -- streaming (chunked, cache-carried) API ---------------------------
+    # Exact reproduction of the reference's chunked processing with bounded
+    # memory: encode in 1+4k pixel-frame chunks (vae2_2.py:797-829), decode
+    # one latent frame at a time (vae2_2.py:831-860). Caches are a flat
+    # pytree of per-conv trailing frames (CacheIO).
+
+    def encode_chunk(self, chunk, caches):
+        """chunk: [B, Tc, H, W, 3]; caches: list | None (first chunk)."""
+        io = CacheIO(caches)
+        out = self.encoder(patchify(chunk, self.cfg.patchify), io)
+        mu, _ = jnp.split(self.conv1(out), 2, axis=-1)
+        mean, std = self._scale()
+        return (mu - mean) / std, io.out
+
+    def decode_chunk(self, z_chunk, caches):
+        """z_chunk: [B, Tz, h, w, z] (normalised); caches: list | None."""
+        mean, std = self._scale()
+        z = z_chunk * std + mean
+        x = self.conv2(z)
+        first = caches is None
+        io = CacheIO(caches)
+        out = self.decoder(x, first, io)
+        return jnp.clip(unpatchify(out, self.cfg.patchify), -1.0, 1.0), io.out
+
+
+def streaming_encode(vae: WanVAE, params, video: jax.Array) -> jax.Array:
+    """Chunked encode with carried caches — bit-identical to `encode` but
+    with bounded activation memory (the reference's production encode path,
+    vae2_2.py:797-829: chunks of 1 then 4 pixel frames)."""
+    t = video.shape[1]
+    mu, caches = vae.apply(params, video[:, :1], None, method=vae.encode_chunk)
+    outs = [mu]
+    for s in range(1, t, 4):
+        mu, caches = vae.apply(params, video[:, s:s + 4], caches,
+                               method=vae.encode_chunk)
+        outs.append(mu)
+    return jnp.concatenate(outs, axis=1)
+
+
+def streaming_decode(vae: WanVAE, params, z: jax.Array) -> jax.Array:
+    """Latent-frame-by-frame decode with carried caches — bit-identical to
+    `decode` with bounded memory (reference vae2_2.py:831-860)."""
+    tz = z.shape[1]
+    out, caches = vae.apply(params, z[:, :1], None, method=vae.decode_chunk)
+    outs = [out]
+    for s in range(1, tz):
+        out, caches = vae.apply(params, z[:, s:s + 1], caches,
+                                method=vae.decode_chunk)
+        outs.append(out)
+    return jnp.concatenate(outs, axis=1)
