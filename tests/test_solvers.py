@@ -62,3 +62,16 @@ def test_multistep_matches_euler_on_linear_field(solver):
     ref = samplers.euler_sample(denoise, noise, sig_fine)
     got = solver(v, noise, sampling_sigmas(25, 1.0))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-3, rtol=2e-2)
+
+
+def test_dual_model_sampler_exact_on_point_flow():
+    from yume_tpu.diffusion.samplers import dual_model_euler_sample
+
+    noise = jax.random.normal(jax.random.PRNGKey(3), TARGET.shape)
+    sig = sampling_sigmas(200, 1.0)
+
+    def denoise(x, t_frame):
+        return true_velocity(x, t_frame[:, -1] / 1000.0)
+
+    out = dual_model_euler_sample(denoise, denoise, noise, sig, boundary=0.9)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(TARGET), atol=3e-2)

@@ -22,7 +22,7 @@ model output at σ_next to correct the step (predictor–corrector).
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

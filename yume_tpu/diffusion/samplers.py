@@ -11,13 +11,12 @@ host↔device sync per step.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.masks import per_frame_timesteps
 from .transport import Transport
 
 DenoiseFn = Callable[[jax.Array, jax.Array], jax.Array]
@@ -159,6 +158,53 @@ def cfg_euler_sample_segment(
         return jnp.concatenate([hist, tail], axis=1), None
 
     latent, _ = jax.lax.scan(step, latent, _sigma_pairs(sigmas))
+    return latent
+
+
+def cfg_sde_euler_sample_segment(
+    denoise_fn: Callable[[jax.Array, jax.Array, jax.Array], jax.Array],
+    latent: jax.Array,
+    noise: jax.Array,
+    ctx: jax.Array,
+    ctx_null: jax.Array,
+    sigmas: np.ndarray,
+    latent_frame_zero: int,
+    guide_scale: float,
+    rng: jax.Array,
+    *,
+    eta: float = 0.3,
+) -> jax.Array:
+    """14B TTS sampling: CFG Euler with per-step history re-noise PLUS the
+    SDE churn correction (reference fastvideo/sample/sample_tts.py:726-744
+    layered on the sample.py:769-790 loop)."""
+    b, f = latent.shape[:2]
+    f_hist = f - latent_frame_zero
+    clean_history = latent[:, :f_hist]
+    s0 = float(sigmas[0])
+    hist0 = s0 * noise[:, :f_hist] + (1.0 - s0) * clean_history
+    latent = jnp.concatenate([hist0, noise[:, f_hist:]], axis=1)
+
+    def step(carry, sig):
+        latent, rng = carry
+        rng, eps_rng = jax.random.split(rng)
+        s_i, s_n = sig[0], sig[1]
+        t_frame = jnp.full((b, f), s_i * 1000.0)
+        v_c = denoise_fn(latent, t_frame, ctx)
+        v_u = denoise_fn(latent, t_frame, ctx_null)
+        v = v_u + guide_scale * (v_c - v_u)
+        v_tail = v[:, -latent_frame_zero:]
+        x_tail = latent[:, -latent_frame_zero:]
+        dt = s_i - s_n
+        tail = x_tail - dt * v_tail
+        score = Transport.score_from_velocity(
+            v_tail, x_tail, jnp.full((b,), s_i))
+        eps = jax.random.normal(eps_rng, x_tail.shape, x_tail.dtype)
+        tail = tail + (eta ** 2) * s_i * score * dt \
+            + eta * jnp.sqrt(2.0 * dt * s_i) * eps
+        hist = s_n * noise[:, :f_hist] + (1.0 - s_n) * clean_history
+        return (jnp.concatenate([hist, tail], axis=1), rng), None
+
+    (latent, _), _ = jax.lax.scan(step, (latent, rng), _sigma_pairs(sigmas))
     return latent
 
 

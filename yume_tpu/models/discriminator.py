@@ -17,7 +17,7 @@ variable collection (1 iteration per call, like torch SpectralNorm).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import List, Tuple
 
 import flax.linen as nn
 import jax

@@ -39,6 +39,7 @@ import math
 from typing import List, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import flax.struct
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -105,9 +106,10 @@ def sinusoidal_embedding_1d(dim: int, position: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-@dataclasses.dataclass
+@flax.struct.dataclass
 class Modulation:
     """Compact AdaLN modulation: distinct-value tables + per-token index.
+    (a pytree, so it can cross remat/scan/shard_map boundaries)
 
     e:   [B, K, dim]      (time embedding, fp32)
     e0:  [B, K, 6, dim]   (projected 6-way modulation, fp32)
@@ -398,6 +400,10 @@ class WanDiT(nn.Module):
 
     cfg: DiTConfig
     dtype: jnp.dtype = jnp.bfloat16
+    # rematerialise each block's activations in the backward pass
+    # (≙ the reference's selective FSDP activation checkpointing,
+    # fastvideo/utils/fsdp_util.py:23-50)
+    remat: bool = False
 
     def setup(self):
         c = self.cfg
@@ -430,7 +436,8 @@ class WanDiT(nn.Module):
             self.img_emb_1 = nn.Dense(c.dim, dtype=self.dtype)
             self.img_emb_3 = nn.Dense(c.dim, dtype=self.dtype)
             self.img_emb_norm4 = nn.LayerNorm(dtype=jnp.float32)
-        self.blocks = [DiTBlock(c) for _ in range(c.num_layers)]
+        block_cls = nn.remat(DiTBlock, static_argnums=(5,)) if self.remat else DiTBlock
+        self.blocks = [block_cls(c) for _ in range(c.num_layers)]
         self.head = Head(c)
         if c.mvdt:
             self.sideblock = DiTBlock(c)

@@ -16,7 +16,7 @@ pad = (x0, x1, y0, y1) may be negative (crop).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple, Union
+from typing import Tuple, Union
 
 import jax
 import jax.numpy as jnp

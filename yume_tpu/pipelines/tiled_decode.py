@@ -10,7 +10,7 @@ cross-faded.
 
 from __future__ import annotations
 
-from typing import Callable, List, Tuple
+from typing import Callable, List
 
 import jax.numpy as jnp
 import numpy as np

@@ -48,6 +48,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--output_dir", default="./outputs")
     p.add_argument("--smoke", action="store_true", help="tiny shapes, random weights")
     p.add_argument("--tokenizer", default=None)
+    p.add_argument("--refine_prompt", action="store_true",
+                   help="refine prompts (local HF model via --refiner_model, "
+                        "template fallback otherwise)")
+    p.add_argument("--refiner_model", default=None)
     return p
 
 
@@ -133,6 +137,11 @@ def main(argv=None):
     captions = [args.prompt]
     if args.caption_file:
         captions = [l.strip() for l in open(args.caption_file) if l.strip()]
+    if args.refine_prompt:
+        from .data.prompt_refine import get_refiner
+
+        refiner = get_refiner(args.refiner_model)
+        captions = [refiner(c) for c in captions]
     sampler = "sde" if args.sde else ("time_travel" if args.time_travel else "euler")
 
     t0 = time.time()

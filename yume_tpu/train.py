@@ -39,6 +39,8 @@ def build_argparser():
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--data_parallel", type=int, default=1)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--remat", action="store_true",
+                   help="activation checkpointing per DiT block")
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--resume", action="store_true")
     return p
@@ -58,7 +60,7 @@ def main(argv=None):
     from .models.dit import WanDiT
     from .parallel.mesh import make_mesh, shard_params
     from .training.train_step import (TrainConfig, init_train_state,
-                                      make_optimizer, make_train_step)
+                                      make_train_step)
     from .utils.checkpoint import restore_checkpoint, save_checkpoint
     from .utils.logging_ import main_print
 
@@ -79,7 +81,7 @@ def main(argv=None):
     main_print(f"mesh: {dict(mesh.shape)} on {len(jax.devices())} devices")
 
     dtype = jnp.float32 if args.smoke else jnp.bfloat16
-    dit = WanDiT(dit_cfg, dtype=dtype)
+    dit = WanDiT(dit_cfg, dtype=dtype, remat=args.remat)
 
     # latent geometry
     if args.smoke:

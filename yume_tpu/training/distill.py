@@ -11,7 +11,6 @@ x̂₁ = x_t − t·v̂ (reference :321 `model_denoing = xt - t*model_output`).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Tuple
 
 import flax.struct

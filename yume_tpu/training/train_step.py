@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import optax
 
 from ..diffusion.transport import Transport
-from ..utils.masks import masks_like, per_frame_timesteps
+from ..utils.masks import masks_like
 
 
 class TrainState(flax.struct.PyTreeNode):

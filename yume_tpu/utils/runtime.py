@@ -13,6 +13,10 @@ import os
 def enable_compilation_cache(path: str | None = None):
     import jax
 
+    if jax.default_backend() != "tpu":
+        # CPU AOT cache entries are machine-feature-sensitive (SIGILL risk
+        # when the cache moves between hosts) and compiles are cheap there.
+        return
     path = path or os.environ.get("YUME_CACHE_DIR", os.path.expanduser("~/.cache/yume_tpu_xla"))
     os.makedirs(path, exist_ok=True)
     try:
