@@ -26,6 +26,9 @@ import numpy as np
 
 def main():
     from yume_tpu.configs import ti2v_5b
+    from yume_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     from yume_tpu.models.dit import WanDiT
 
     cfg = ti2v_5b()

@@ -145,6 +145,14 @@ class TI2VPipeline:
     def _encode(self, video):
         return self.vae.apply(self.vae_params, video, method=self.vae.encode)
 
+    def decode_tiled(self, z, n_tiles: int = 5):
+        """Width-tiled decode with blended overlaps for large frames
+        (≙ webapp tiled_decode_overlap; pipelines/tiled_decode.py)."""
+        from .tiled_decode import tiled_decode
+
+        return tiled_decode(self._decode, z, n_tiles=n_tiles,
+                            scale_factor=self.config.vae.stride[1])
+
     # -- public generation ---------------------------------------------------
 
     def generate_t2v(

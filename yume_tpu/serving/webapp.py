@@ -117,7 +117,9 @@ def _generate(req, args):
     if mode == "continue_from_last" and STATE["last"] is not None:
         latents = pipe.generate_segment(STATE["last"], ctx, steps=steps, seed=seed)
         tail = latents[:, -cfg.latent_frame_zero:]
-        video = pipe._decode(tail)
+        # width-tiled decode bounds memory at 720p+ (reference
+        # tiled_decode_overlap, webapp_single_gpu.py:370-551)
+        video = pipe.decode_tiled(tail) if tail.shape[3] >= 40 else pipe._decode(tail)
     elif mode == "i2v" and req.get("image_b64"):
         raw = base64.b64decode(req["image_b64"])
         tmp = "/tmp/yume_upload.png"

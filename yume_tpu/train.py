@@ -99,11 +99,15 @@ def main(argv=None):
     t0 = jnp.zeros((1, f))
     c0 = jnp.zeros((1, text_len, text_dim))
     init_kw = {}
-    mvdt_keep = None
+    mvdt_keeps = None
     if args.MVDT:
-        l_full = None  # computed from packed token count at runtime; use 60%
-        mvdt_keep = int(0.6 * f * (h // dit_cfg.patch_size[1]) * (w // dit_cfg.patch_size[2]))
-        init_kw = dict(mvdt_rng=jax.random.PRNGKey(0), mvdt_keep=mvdt_keep)
+        # the reference samples mask_ratio ~ U[0.3, 0.5] per step
+        # (wan23/modules/model.py:766-767); keep counts must be static under
+        # jit, so we quantise to 5 ratios → 5 cached compilations
+        l_unpacked = f * (h // dit_cfg.patch_size[1]) * (w // dit_cfg.patch_size[2])
+        mvdt_keeps = [int(l_unpacked * (1.0 - r))
+                      for r in (0.30, 0.35, 0.40, 0.45, 0.50)]
+        init_kw = dict(mvdt_rng=jax.random.PRNGKey(0), mvdt_keep=mvdt_keeps[0])
     params = dit.init(rng, x0, t0, c0, packed=True, latent_frame_zero=lfz, **init_kw)
     if args.ckpt_dir:
         from .utils.checkpoint import convert_dit_state_dict, load_safetensors_state_dict
@@ -115,8 +119,18 @@ def main(argv=None):
     tc = TrainConfig(learning_rate=args.learning_rate, latent_frame_zero=lfz,
                      mvdt=args.MVDT)
     state = init_train_state(params, tc)
-    step_fn = jax.jit(make_train_step(dit.apply, tc, packed=True,
-                                      mvdt_keep=mvdt_keep))
+    import random as _random
+
+    _mvdt_rng = _random.Random(args.seed)
+    if args.MVDT:
+        step_fns = {k: jax.jit(make_train_step(dit.apply, tc, packed=True,
+                                               mvdt_keep=k))
+                    for k in set(mvdt_keeps)}
+
+        def step_fn(state, batch, rng):
+            return step_fns[_mvdt_rng.choice(mvdt_keeps)](state, batch, rng)
+    else:
+        step_fn = jax.jit(make_train_step(dit.apply, tc, packed=True))
 
     # optional ADD discriminator (reference distill_model.py:532-579)
     disc = disc_state = disc_step = None

@@ -24,3 +24,11 @@ def enable_compilation_cache(path: str | None = None):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+
+def enable_debug_checks():
+    """NaN/Inf checking for debugging (the TPU-side analogue of the
+    reference's deterministic-attention + sync flags, SURVEY §5.2)."""
+    import jax
+
+    jax.config.update("jax_debug_nans", True)
