@@ -310,6 +310,33 @@ def convert_t5_state_dict(sd: Mapping[str, Any], num_layers: int) -> Dict:
     return {"params": params}
 
 
+def convert_xlm_roberta_state_dict(sd: Mapping[str, Any], num_layers: int) -> Dict:
+    """Map the reference XLM-RoBERTa text tower (wan/modules/xlm_roberta.py
+    naming, incl. the CLIP projection head of clip.py:303-326) onto
+    yume_tpu.models.clip.XLMRobertaText params."""
+    params: Dict = {}
+    for emb in ("token_embedding", "type_embedding", "pos_embedding"):
+        set_in(params, f"{emb}/embedding", _t(sd[f"{emb}.weight"]))
+    set_in(params, "norm/scale", _t(sd["norm.weight"]))
+    set_in(params, "norm/bias", _t(sd["norm.bias"]))
+    for i in range(num_layers):
+        src, dst = f"blocks.{i}", f"blocks_{i}"
+        for a in ("q", "k", "v", "o"):
+            set_in(params, f"{dst}_{a}/kernel", dense_kernel(sd[f"{src}.attn.{a}.weight"]))
+            set_in(params, f"{dst}_{a}/bias", _t(sd[f"{src}.attn.{a}.bias"]))
+        for n in ("norm1", "norm2"):
+            set_in(params, f"{dst}_{n}/scale", _t(sd[f"{src}.{n}.weight"]))
+            set_in(params, f"{dst}_{n}/bias", _t(sd[f"{src}.{n}.bias"]))
+        set_in(params, f"{dst}_ffn0/kernel", dense_kernel(sd[f"{src}.ffn.0.weight"]))
+        set_in(params, f"{dst}_ffn0/bias", _t(sd[f"{src}.ffn.0.bias"]))
+        set_in(params, f"{dst}_ffn2/kernel", dense_kernel(sd[f"{src}.ffn.2.weight"]))
+        set_in(params, f"{dst}_ffn2/bias", _t(sd[f"{src}.ffn.2.bias"]))
+    if "head.0.weight" in sd:
+        set_in(params, "head_0/kernel", dense_kernel(sd["head.0.weight"]))
+        set_in(params, "head_2/kernel", dense_kernel(sd["head.2.weight"]))
+    return {"params": params}
+
+
 def load_safetensors_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load a (possibly sharded-with-index) safetensors checkpoint directory
     or file into a flat numpy state dict (equivalent of
