@@ -65,3 +65,38 @@ def test_tokenizer_fallback():
     ids2, _ = tok(["Person moves forward (W).", ""])
     np.testing.assert_array_equal(ids[0], ids2[0])
     assert ids.max() < 1000
+
+
+def test_prefetch_loader():
+    import time
+
+    from yume_tpu.data.loader import PrefetchLoader
+
+    def sample(i):
+        time.sleep(0.01)
+        return {"x": np.full((2, 2), i, np.float32), "id": i}
+
+    loader = PrefetchLoader(sample, batch_size=2, num_workers=2, prefetch=3)
+    seen = set()
+    for _ in range(4):
+        b = next(loader)
+        assert b["x"].shape == (2, 2, 2)
+        seen.update(b["id"])
+    loader.close()
+    assert len(seen) == 8
+
+
+def test_prefetch_loader_propagates_errors():
+    from yume_tpu.data.loader import PrefetchLoader
+
+    def bad(i):
+        raise ValueError("boom")
+
+    loader = PrefetchLoader(bad, batch_size=1, num_workers=1)
+    try:
+        next(loader)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+    finally:
+        loader.close()

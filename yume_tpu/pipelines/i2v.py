@@ -86,10 +86,25 @@ class I2VPipeline:
         if config.dit.image_context_len:
             clip_ctx = jnp.zeros((1, config.dit.image_context_len,
                                   config.clip.dim if config.clip else 1280))
-        dit_params = dit.init(
-            d_rng, x, t, ctx, packed=True,
-            latent_frame_zero=config.latent_frame_zero, clip_context=clip_ctx,
-        )
+        if dtype == jnp.bfloat16 and config.dit.dim >= 1024:
+            # low-memory shape-based init (see TI2VPipeline.from_config);
+            # NOTE: 14B bf16 params are ~28 GB — single-chip v5e needs the
+            # fsdp-sharded path (parallel/mesh.py) or quantisation
+            shapes = jax.eval_shape(
+                lambda k, a, b, c: dit.init(
+                    k, a, b, c, packed=True,
+                    latent_frame_zero=config.latent_frame_zero,
+                    clip_context=clip_ctx),
+                d_rng, x, t, ctx)
+            dit_params = jax.tree_util.tree_map(
+                lambda sh: (jax.random.normal(d_rng, sh.shape, jnp.bfloat16) * 0.02
+                            if sh.size > 1 else jnp.zeros(sh.shape, jnp.bfloat16)),
+                shapes)
+        else:
+            dit_params = dit.init(
+                d_rng, x, t, ctx, packed=True,
+                latent_frame_zero=config.latent_frame_zero, clip_context=clip_ctx,
+            )
 
         vae = WanVAE(config.vae)
         s = config.vae.stride

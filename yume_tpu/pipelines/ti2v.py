@@ -60,7 +60,19 @@ class TI2VPipeline:
         x = jnp.zeros((1, f, h, w, config.dit.in_dim))
         t = jnp.zeros((1, f))
         ctx = jnp.zeros((1, config.dit.text_len, config.dit.text_dim))
-        dit_params = dit.init(d_rng, x, t, ctx, packed=False)
+        if dtype == jnp.bfloat16 and config.dit.dim >= 1024:
+            # billion-scale models: a full fp32 random init (~20 GB for 5B)
+            # exceeds single-chip HBM; materialise bf16 params from shapes
+            # (real weights come from checkpoints anyway)
+            shapes = jax.eval_shape(
+                lambda k, a, b, c: dit.init(k, a, b, c, packed=False),
+                d_rng, x, t, ctx)
+            dit_params = jax.tree_util.tree_map(
+                lambda s: (jax.random.normal(d_rng, s.shape, jnp.bfloat16) * 0.02
+                           if s.size > 1 else jnp.zeros(s.shape, jnp.bfloat16)),
+                shapes)
+        else:
+            dit_params = dit.init(d_rng, x, t, ctx, packed=False)
 
         vae = WanVAE(config.vae)
         p = config.vae.patchify
