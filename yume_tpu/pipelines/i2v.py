@@ -136,12 +136,18 @@ class I2VPipeline:
         return self.clip.apply(self.clip_params, x)
 
     @functools.partial(jax.jit, static_argnums=(0,))
-    def _encode(self, video):
-        return self.vae.apply(self.vae_params, video, method=self.vae.encode)
+    def _encode_p(self, params, video):
+        return self.vae.apply(params, video, method=self.vae.encode)
 
     @functools.partial(jax.jit, static_argnums=(0,))
+    def _decode_p(self, params, z):
+        return self.vae.apply(params, z, method=self.vae.decode)
+
+    def _encode(self, video):
+        return self._encode_p(self.vae_params, video)
+
     def _decode(self, z):
-        return self.vae.apply(self.vae_params, z, method=self.vae.decode)
+        return self._decode_p(self.vae_params, z)
 
     def make_conditioning(
         self,
@@ -176,15 +182,16 @@ class I2VPipeline:
 
     # -- sampling -------------------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnums=(0, 6, 7, 8))
-    def _sample_cfg(self, noise, y, ctx, ctx_null, clip_ctx, steps, shift, guide_scale):
+    @functools.partial(jax.jit, static_argnums=(0, 7, 8, 9))
+    def _sample_cfg(self, params, noise, y, ctx, ctx_null, clip_ctx, steps,
+                    shift, guide_scale):
         sig = sampling_sigmas(steps, shift)
         lfz = self.config.latent_frame_zero
 
         def denoise(latent, t_frame, context):
             x_in = jnp.concatenate([latent, y], axis=-1).astype(jnp.bfloat16)
             out = self.dit.apply(
-                self.dit_params, x_in, t_frame, context, packed=True,
+                params, x_in, t_frame, context, packed=True,
                 latent_frame_zero=lfz, clip_context=clip_ctx,
                 attn_impl=self.attn_impl,
             ).astype(latent.dtype)
@@ -232,8 +239,8 @@ class I2VPipeline:
         noise = jax.random.normal(
             jax.random.PRNGKey(seed),
             (b, f_lat, lat_h, lat_w, self.config.vae.z_dim), jnp.float32)
-        latents = self._sample_cfg(noise, y, ctx, ctx_null, clip_ctx,
-                                   steps, shift, guide_scale)
+        latents = self._sample_cfg(self.dit_params, noise, y, ctx, ctx_null,
+                                   clip_ctx, steps, shift, guide_scale)
         return latents, self._decode(latents)
 
     def generate_next(

@@ -99,25 +99,28 @@ class TI2VPipeline:
 
     # -- jitted building blocks ---------------------------------------------
 
-    @functools.partial(jax.jit, static_argnums=(0, 4, 5))
-    def _sample_t2v(self, noise, ctx, sigmas_key, steps, shift):
+    # NOTE: params are traced arguments on every jitted method — a static
+    # `self` closure would bake the multi-GB weight arrays into the compiled
+    # program as constants (10 GB capture observed with the 5B model).
+    @functools.partial(jax.jit, static_argnums=(0, 5, 6))
+    def _sample_t2v(self, params, noise, ctx, sigmas_key, steps, shift):
         sig = sampling_sigmas(steps, shift)
 
         def denoise(latent, t_frame):
             return self.dit.apply(
-                self.dit_params, latent.astype(jnp.bfloat16), t_frame, ctx,
+                params, latent.astype(jnp.bfloat16), t_frame, ctx,
                 packed=False, attn_impl=self.attn_impl,
             ).astype(latent.dtype)
 
         return samplers.euler_sample(denoise, noise, sig)
 
-    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
-    def _sample_segment(self, latent, ctx, history_t, steps, shift, lfz):
+    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
+    def _sample_segment(self, params, latent, ctx, history_t, steps, shift, lfz):
         sig = sampling_sigmas(steps, shift)
 
         def denoise(lat, t_frame):
             out = self.dit.apply(
-                self.dit_params, lat.astype(jnp.bfloat16), t_frame, ctx,
+                params, lat.astype(jnp.bfloat16), t_frame, ctx,
                 packed=True, latent_frame_zero=lfz, attn_impl=self.attn_impl,
             ).astype(lat.dtype)
             # packed DiT returns tail frames only; splice into full-length v
@@ -128,16 +131,16 @@ class TI2VPipeline:
             denoise, latent, sig, lfz, history_t=history_t
         )
 
-    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
-    def _sample_segment_tts(self, latent, ctx, history_t, steps, shift, lfz,
-                            mode, rng=None):
+    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8))
+    def _sample_segment_tts(self, params, latent, ctx, history_t, steps, shift,
+                            lfz, mode, rng=None):
         """TTS samplers: 'sde' churn or 'time_travel' lookahead
         (reference fastvideo/sample/sample_tts.py)."""
         sig = sampling_sigmas(steps, shift)
 
         def denoise(lat, t_frame):
             out = self.dit.apply(
-                self.dit_params, lat.astype(jnp.bfloat16), t_frame, ctx,
+                params, lat.astype(jnp.bfloat16), t_frame, ctx,
                 packed=True, latent_frame_zero=lfz, attn_impl=self.attn_impl,
             ).astype(lat.dtype)
             pad = jnp.zeros_like(lat[:, : lat.shape[1] - lfz])
@@ -150,12 +153,18 @@ class TI2VPipeline:
             denoise, latent, sig, lfz, history_t=history_t)
 
     @functools.partial(jax.jit, static_argnums=(0,))
-    def _decode(self, z):
-        return self.vae.apply(self.vae_params, z, method=self.vae.decode)
+    def _decode_p(self, params, z):
+        return self.vae.apply(params, z, method=self.vae.decode)
 
     @functools.partial(jax.jit, static_argnums=(0,))
+    def _encode_p(self, params, video):
+        return self.vae.apply(params, video, method=self.vae.encode)
+
+    def _decode(self, z):
+        return self._decode_p(self.vae_params, z)
+
     def _encode(self, video):
-        return self.vae.apply(self.vae_params, video, method=self.vae.encode)
+        return self._encode_p(self.vae_params, video)
 
     def decode_tiled(self, z, n_tiles: int = 5):
         """Width-tiled decode with blended overlaps for large frames
@@ -189,7 +198,7 @@ class TI2VPipeline:
             jax.random.PRNGKey(seed),
             (ctx.shape[0], f_lat, h_lat, w_lat, cfgv.z_dim), jnp.float32,
         )
-        latent = self._sample_t2v(noise, ctx, None, steps, shift)
+        latent = self._sample_t2v(self.dit_params, noise, ctx, None, steps, shift)
         return self._decode(latent)
 
     def generate_segment(
@@ -215,9 +224,10 @@ class TI2VPipeline:
         latent = jnp.concatenate([history_latents, noise], axis=1)
         history_t = jnp.zeros((b, f_hist), jnp.float32)
         if sampler == "euler":
-            return self._sample_segment(latent, ctx, history_t, steps, shift, lfz)
+            return self._sample_segment(self.dit_params, latent, ctx, history_t,
+                                        steps, shift, lfz)
         return self._sample_segment_tts(
-            latent, ctx, history_t, steps, shift, lfz, sampler,
+            self.dit_params, latent, ctx, history_t, steps, shift, lfz, sampler,
             jax.random.PRNGKey(seed + 7919))
 
     def generate_long(
