@@ -554,16 +554,30 @@ class WanVAE(nn.Module):
         return jnp.clip(unpatchify(out, self.cfg.patchify), -1.0, 1.0), io.out
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=8)
+def _jit_encode_chunk(vae: "WanVAE"):
+    return jax.jit(lambda p, x, c: vae.apply(p, x, c, method=vae.encode_chunk))
+
+
+@_functools.lru_cache(maxsize=8)
+def _jit_decode_chunk(vae: "WanVAE"):
+    return jax.jit(lambda p, z, c: vae.apply(p, z, c, method=vae.decode_chunk))
+
+
 def streaming_encode(vae: WanVAE, params, video: jax.Array) -> jax.Array:
     """Chunked encode with carried caches — bit-identical to `encode` but
     with bounded activation memory (the reference's production encode path,
-    vae2_2.py:797-829: chunks of 1 then 4 pixel frames)."""
+    vae2_2.py:797-829: chunks of 1 then 4 pixel frames). Chunk steps are
+    jitted (two compilations: first + steady-state)."""
+    fn = _jit_encode_chunk(vae)
     t = video.shape[1]
-    mu, caches = vae.apply(params, video[:, :1], None, method=vae.encode_chunk)
+    mu, caches = fn(params, video[:, :1], None)
     outs = [mu]
     for s in range(1, t, 4):
-        mu, caches = vae.apply(params, video[:, s:s + 4], caches,
-                               method=vae.encode_chunk)
+        mu, caches = fn(params, video[:, s:s + 4], caches)
         outs.append(mu)
     return jnp.concatenate(outs, axis=1)
 
@@ -571,11 +585,11 @@ def streaming_encode(vae: WanVAE, params, video: jax.Array) -> jax.Array:
 def streaming_decode(vae: WanVAE, params, z: jax.Array) -> jax.Array:
     """Latent-frame-by-frame decode with carried caches — bit-identical to
     `decode` with bounded memory (reference vae2_2.py:831-860)."""
+    fn = _jit_decode_chunk(vae)
     tz = z.shape[1]
-    out, caches = vae.apply(params, z[:, :1], None, method=vae.decode_chunk)
+    out, caches = fn(params, z[:, :1], None)
     outs = [out]
     for s in range(1, tz):
-        out, caches = vae.apply(params, z[:, s:s + 1], caches,
-                                method=vae.decode_chunk)
+        out, caches = fn(params, z[:, s:s + 1], caches)
         outs.append(out)
     return jnp.concatenate(outs, axis=1)

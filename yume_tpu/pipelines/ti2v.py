@@ -79,6 +79,11 @@ class TI2VPipeline:
         s = config.vae.stride
         video = jnp.zeros((1, 1 + (f - 1) * s[0], h * s[1], w * s[2], 3))
         vae_params = vae.init(v_rng, video)
+        if dtype == jnp.bfloat16:
+            # VAE runs under bf16 autocast in the reference
+            # (wan23/textimage2video.py:578); halve resident param bytes
+            vae_params = jax.tree_util.tree_map(
+                lambda l: l.astype(jnp.bfloat16), vae_params)
 
         t5 = t5_params = None
         if init_t5:
@@ -174,6 +179,29 @@ class TI2VPipeline:
         return tiled_decode(self._decode, z, n_tiles=n_tiles,
                             scale_factor=self.config.vae.stride[1])
 
+    def decode_auto(self, z):
+        """Memory-aware decode: full-clip for small outputs, streaming
+        (frame-by-frame, bf16 like the reference's autocast decode,
+        wan23/textimage2video.py:578) once the full-clip decoder activations
+        would exceed a few GB. Exact — the streaming path is cache-carried,
+        not chunk-independent."""
+        s = self.config.vae.stride
+        # decoder peak activation ≈ pixels × 256ch × 4B at full temporal res
+        pixels = (1 + (z.shape[1] - 1) * s[0]) * z.shape[2] * s[1] * z.shape[3] * s[2]
+        if pixels * 256 * 2 < (2 << 30):
+            return self._decode(z)
+        from ..models.vae import streaming_decode
+        from .tiled_decode import tiled_decode
+
+        def stream(tile):
+            return streaming_decode(self.vae, self.vae_params,
+                                    tile.astype(jnp.bfloat16))
+
+        if z.shape[3] >= 40:  # also tile width at 720p-class frames
+            return tiled_decode(stream, z, n_tiles=4,
+                                scale_factor=self.config.vae.stride[1])
+        return stream(z)
+
     # -- public generation ---------------------------------------------------
 
     def generate_t2v(
@@ -199,7 +227,7 @@ class TI2VPipeline:
             (ctx.shape[0], f_lat, h_lat, w_lat, cfgv.z_dim), jnp.float32,
         )
         latent = self._sample_t2v(self.dit_params, noise, ctx, None, steps, shift)
-        return self._decode(latent)
+        return self.decode_auto(latent)
 
     def generate_segment(
         self,
@@ -250,7 +278,7 @@ class TI2VPipeline:
                 latents, ctx, steps=steps, shift=shift, seed=seed + s + 1
             )
             tail = latents[:, -self.config.latent_frame_zero:]
-            videos.append(self._decode(tail))
+            videos.append(self.decode_auto(tail))
         return latents, videos
 
     def encode_image_conditioning(

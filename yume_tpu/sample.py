@@ -167,7 +167,7 @@ def main(argv=None):
             first_latents[:, : -cfg.latent_frame_zero], ctx,
             steps=steps, shift=args.shift or cfg.sample_shift, seed=args.seed,
             sampler=sampler)
-        video = pipe._decode(first_latents)
+        video = pipe.decode_auto(first_latents)
 
     out0 = os.path.join(args.output_dir, "segment_000.mp4")
     save_video(np.asarray(video[0]), out0, fps=cfg.sample_fps)
@@ -183,7 +183,7 @@ def main(argv=None):
         latents = pipe.generate_segment(
             latents, ctx, steps=steps, shift=args.shift or 7.0,
             seed=args.seed + s, sampler=sampler)
-        tail_video = pipe._decode(latents[:, -cfg.latent_frame_zero:])
+        tail_video = pipe.decode_auto(latents[:, -cfg.latent_frame_zero:])
         out = os.path.join(args.output_dir, f"segment_{s:03d}.mp4")
         save_video(np.asarray(tail_video[0]), out, fps=cfg.sample_fps)
         print(f"--> Function running time: {time.time() - t1:.4f} s ({out})")
