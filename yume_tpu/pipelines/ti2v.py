@@ -179,6 +179,18 @@ class TI2VPipeline:
         return tiled_decode(self._decode, z, n_tiles=n_tiles,
                             scale_factor=self.config.vae.stride[1])
 
+    def encode_auto(self, video):
+        """Memory-aware encode: streaming 1+4k-frame chunks (the reference's
+        production encode, vae2_2.py:797-829) once full-clip encoder
+        activations would exceed a few GB."""
+        pixels = video.shape[1] * video.shape[2] * video.shape[3]
+        if pixels * 160 * 2 < (2 << 30):
+            return self._encode(video)
+        from ..models.vae import streaming_encode
+
+        return streaming_encode(self.vae, self.vae_params,
+                                video.astype(jnp.bfloat16))
+
     def decode_auto(self, z):
         """Memory-aware decode: full-clip for small outputs, streaming
         (frame-by-frame, bf16 like the reference's autocast decode,

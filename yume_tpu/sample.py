@@ -152,7 +152,7 @@ def main(argv=None):
             frame_num=frame_num, steps=steps, shift=args.shift,
             seed=args.seed,
         )
-        first_latents = pipe._encode(video)
+        first_latents = pipe.encode_auto(video)
     else:
         img = load_image(
             sorted(os.path.join(args.jpg_dir, f) for f in os.listdir(args.jpg_dir)

@@ -137,7 +137,7 @@ def _generate(req, args):
         frame_num = 5 if args.smoke else cfg.frame_num
         video = pipe.generate_t2v(ctx, size=size, frame_num=frame_num,
                                   steps=steps, seed=seed)
-        latents = pipe._encode(video)
+        latents = pipe.encode_auto(video)
 
     STATE["last"] = latents
     out = os.path.join(args.output_dir, f"web_{len(STATE['outputs']):04d}.mp4")
