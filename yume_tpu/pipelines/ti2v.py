@@ -179,6 +179,39 @@ class TI2VPipeline:
         return tiled_decode(self._decode, z, n_tiles=n_tiles,
                             scale_factor=self.config.vae.stride[1])
 
+    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
+    def _sample_t2v_dual(self, params_high, params_low, noise, ctx, steps,
+                         shift, boundary):
+        """Dual low/high-noise expert sampling (stock Wan2.2 I2V 'MoE',
+        reference wan23/image2video.py:104-120): high-noise params handle
+        σ ≥ boundary."""
+        sig = sampling_sigmas(steps, shift)
+
+        def mk(params):
+            def denoise(latent, t_frame):
+                return self.dit.apply(
+                    params, latent.astype(jnp.bfloat16), t_frame, ctx,
+                    packed=False, attn_impl=self.attn_impl,
+                ).astype(latent.dtype)
+            return denoise
+
+        return samplers.dual_model_euler_sample(
+            mk(params_high), mk(params_low), noise, sig, boundary=boundary)
+
+    def generate_t2v_dual(self, ctx, params_high, params_low, *,
+                          size=(1280, 704), frame_num=121, steps=50,
+                          shift=None, boundary=0.875, seed=0):
+        cfgv = self.config.vae
+        shift = self.config.sample_shift if shift is None else shift
+        f_lat = (frame_num - 1) // cfgv.stride[0] + 1
+        noise = jax.random.normal(
+            jax.random.PRNGKey(seed),
+            (ctx.shape[0], f_lat, size[1] // cfgv.stride[1],
+             size[0] // cfgv.stride[2], cfgv.z_dim), jnp.float32)
+        latent = self._sample_t2v_dual(params_high, params_low, noise, ctx,
+                                       steps, shift, boundary)
+        return self.decode_auto(latent)
+
     def encode_auto(self, video):
         """Memory-aware encode: streaming 1+4k-frame chunks (the reference's
         production encode, vae2_2.py:797-829) once full-clip encoder
