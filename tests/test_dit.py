@@ -126,3 +126,25 @@ def test_jit_packed():
     out = f(params, x, t, ctx)
     assert out.shape == (1, 2, 8, 8, 8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_residual_cache_roundtrip():
+    """Caching all blocks then skipping them with the SAME input must
+    reproduce the dense output exactly (mechanical correctness of the
+    TeaCache path; reference wan/modules/model.py:977-998)."""
+    model = _make()
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 5, 8, 8, 8))
+    t = jnp.zeros((1, 5)).at[:, -2:].set(500.0)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 32))
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx, packed=True,
+                        latent_frame_zero=2)
+    dense = model.apply(params, x, t, ctx, packed=True, latent_frame_zero=2)
+    cache_list = (0, 1)
+    out1, cache = model.apply(params, x, t, ctx, packed=True,
+                              latent_frame_zero=2, cache_list=cache_list,
+                              return_cache=True)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(dense), atol=1e-5)
+    out2 = model.apply(params, x, t, ctx, packed=True, latent_frame_zero=2,
+                       cache_list=cache_list, block_cache=cache)
+    # skipping both blocks with their exact residuals == dense (bf16 cache)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(dense), atol=5e-2)

@@ -304,3 +304,41 @@ def time_travel_sample_segment(
             latent, _ = euler_tail(latent, sig[i], sig[i + 1])
         i += 1
     return latent
+
+
+def euler_sample_segment_cached(
+    denoise_full,
+    denoise_cached,
+    latent: jax.Array,
+    sigmas: np.ndarray,
+    latent_frame_zero: int,
+    *,
+    cache_interval: int = 2,
+    history_t: Optional[jax.Array] = None,
+):
+    """Euler tail sampling with TeaCache-style block-residual reuse
+    (reference wan/modules/model.py:977-998): every ``cache_interval``-th
+    step runs the full DiT and stores block residuals; in-between steps skip
+    the cached blocks and add the stored residuals.
+
+    denoise_full(latent, t) -> (v, cache); denoise_cached(latent, t, cache)
+    -> v. Unrolled over the ladder (step count is small at inference).
+    """
+    b, f = latent.shape[:2]
+    f_hist = f - latent_frame_zero
+    if history_t is None:
+        history_t = jnp.zeros((b, f_hist), jnp.float32)
+    sig = np.asarray(sigmas, np.float32)
+    cache = None
+    for i in range(len(sig) - 1):
+        s_i, s_n = float(sig[i]), float(sig[i + 1])
+        t_frame = jnp.concatenate(
+            [history_t * 1000.0,
+             jnp.full((b, latent_frame_zero), s_i * 1000.0)], axis=1)
+        if cache is None or i % cache_interval == 0:
+            v, cache = denoise_full(latent, t_frame)
+        else:
+            v = denoise_cached(latent, t_frame, cache)
+        tail = latent[:, -latent_frame_zero:] + (s_n - s_i) * v[:, -latent_frame_zero:]
+        latent = jnp.concatenate([latent[:, :f_hist], tail], axis=1)
+    return latent

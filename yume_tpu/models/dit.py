@@ -508,17 +508,31 @@ class WanDiT(nn.Module):
         return ctx
 
     def _trunk(self, x, mod: Modulation, context, rope_cos, rope_sin, attn_impl,
-               mvdt: Optional[dict] = None):
-        """Run all blocks (+ optional MVDT side interpolation at midpoint)."""
+               mvdt: Optional[dict] = None, block_cache=None,
+               cache_list: Tuple[int, ...] = (), return_cache: bool = False):
+        """Run all blocks (+ optional MVDT side interpolation at midpoint).
+
+        TeaCache-style residual caching (reference wan/modules/model.py:
+        977-998): blocks listed in ``cache_list`` either store their residual
+        (x_out − x_in) when ``return_cache`` or are skipped entirely with the
+        cached residual added back (``block_cache`` given).
+        """
         c = self.cfg
         mid = (c.num_layers + 1) // 2
+        new_cache = []
         for i in range(c.num_layers):
             if mvdt is not None and i == mid - 1:
                 x = self._side_interpolate(x, mvdt, context, rope_cos, rope_sin, attn_impl)
                 mod = mvdt["mod_full"]
                 rope_cos, rope_sin = mvdt["rope_full"]
+            if block_cache is not None and not return_cache and i in cache_list:
+                x = x + block_cache[cache_list.index(i)].astype(x.dtype)
+                continue
+            x_in = x
             x = self.blocks[i](x, mod, context, rope_cos, rope_sin, attn_impl)
-        return x, mod
+            if return_cache and i in cache_list:
+                new_cache.append((x - x_in).astype(jnp.bfloat16))
+        return x, mod, new_cache
 
     def _side_interpolate(self, x, mvdt, context, rope_cos, rope_sin, attn_impl):
         """MVDT mid-network side interpolater (reference
@@ -554,6 +568,9 @@ class WanDiT(nn.Module):
         attn_impl: Optional[str] = None,
         mvdt_rng: Optional[jax.Array] = None,
         mvdt_keep: Optional[int] = None,
+        block_cache=None,
+        cache_list: Tuple[int, ...] = (),
+        return_cache: bool = False,
     ) -> jax.Array:
         """Denoise one batch of latent videos.
 
@@ -579,10 +596,11 @@ class WanDiT(nn.Module):
         if packed:
             return self._forward_packed(
                 x, t_frame, context, latent_frame_zero, clip_context, attn_impl,
-                mvdt_rng, mvdt_keep,
+                mvdt_rng, mvdt_keep, block_cache, cache_list, return_cache,
             )
         return self._forward_unpacked(
-            x, t_frame, context, clip_context, attn_impl, mvdt_rng, mvdt_keep
+            x, t_frame, context, clip_context, attn_impl, mvdt_rng, mvdt_keep,
+            block_cache, cache_list, return_cache,
         )
 
     def _touch_unused_params(self, x, context):
@@ -610,7 +628,8 @@ class WanDiT(nn.Module):
             self.sideblock(h, mod, ctx, cos, jnp.zeros_like(cos), "xla")
 
     def _forward_unpacked(self, x, t_frame, context, clip_context, attn_impl,
-                          mvdt_rng=None, mvdt_keep=None):
+                          mvdt_rng=None, mvdt_keep=None, block_cache=None,
+                          cache_list=(), return_cache=False):
         c = self.cfg
         b, f, h, w, _ = x.shape
         tokens, (gf, gh, gw) = self._embed_chunk(x.astype(self.dtype), 1, False)
@@ -628,12 +647,16 @@ class WanDiT(nn.Module):
         tokens, mod, mvdt, cos_k, sin_k = self._maybe_mask(
             tokens, mod, cos, sin, mvdt_rng, mvdt_keep
         )
-        out, mod_out = self._trunk(tokens, mod, ctx, cos_k, sin_k, attn_impl, mvdt)
+        out, mod_out, new_cache = self._trunk(
+            tokens, mod, ctx, cos_k, sin_k, attn_impl, mvdt,
+            block_cache, cache_list, return_cache)
         out = self.head(out, mod_out)
-        return self._unpatchify(out, (gf, gh, gw))
+        out = self._unpatchify(out, (gf, gh, gw))
+        return (out, new_cache) if return_cache else out
 
     def _forward_packed(self, x, t_frame, context, latent_frame_zero,
-                        clip_context, attn_impl, mvdt_rng=None, mvdt_keep=None):
+                        clip_context, attn_impl, mvdt_rng=None, mvdt_keep=None,
+                        block_cache=None, cache_list=(), return_cache=False):
         c = self.cfg
         b, f, h_lat, w_lat, _ = x.shape
         f_hist = f - latent_frame_zero
@@ -670,9 +693,12 @@ class WanDiT(nn.Module):
         tokens, mod, mvdt, cos_k, sin_k = self._maybe_mask(
             tokens, mod, cos, sin, mvdt_rng, mvdt_keep
         )
-        out, mod_out = self._trunk(tokens, mod, ctx, cos_k, sin_k, attn_impl, mvdt)
+        out, mod_out, new_cache = self._trunk(
+            tokens, mod, ctx, cos_k, sin_k, attn_impl, mvdt,
+            block_cache, cache_list, return_cache)
         out = self.head(out, mod_out)
-        return self._unpatchify(out[:, l_hist:], tail_grid)
+        out = self._unpatchify(out[:, l_hist:], tail_grid)
+        return (out, new_cache) if return_cache else out
 
     def _maybe_mask(self, tokens, mod, cos, sin, mvdt_rng, mvdt_keep):
         """MVDT random masking with static keep count (reference
@@ -752,5 +778,5 @@ class WanDiT(nn.Module):
         """Blocks + head over pre-embedded tokens (per-token compute only —
         safe to shard along the token axis inside shard_map)."""
         mod = self._time_mod(t_values, idx)
-        out, mod_out = self._trunk(tokens, mod, ctx, cos, sin, attn_impl, None)
+        out, mod_out, _ = self._trunk(tokens, mod, ctx, cos, sin, attn_impl, None)
         return self.head(out, mod_out)

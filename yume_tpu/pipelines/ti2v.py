@@ -157,6 +157,38 @@ class TI2VPipeline:
         return samplers.time_travel_sample_segment(
             denoise, latent, sig, lfz, history_t=history_t)
 
+    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8))
+    def _sample_segment_teacache(self, params, latent, ctx, history_t, steps,
+                                 shift, lfz, cache_interval=2):
+        """Euler tail sampling with block-residual caching (TeaCache;
+        reference wan/modules/model.py:977-998): full DiT every
+        ``cache_interval`` steps, middle-block skipping in between."""
+        sig = sampling_sigmas(steps, shift)
+        n = self.config.dit.num_layers
+        cache_list = tuple(range(n // 4, n - n // 4))  # middle half
+
+        def pad_v(lat, out):
+            pad = jnp.zeros_like(lat[:, : lat.shape[1] - lfz])
+            return jnp.concatenate([pad, out], axis=1)
+
+        def full(lat, t_frame):
+            out, cache = self.dit.apply(
+                params, lat.astype(jnp.bfloat16), t_frame, ctx, packed=True,
+                latent_frame_zero=lfz, attn_impl=self.attn_impl,
+                cache_list=cache_list, return_cache=True)
+            return pad_v(lat, out.astype(lat.dtype)), cache
+
+        def cached(lat, t_frame, cache):
+            out = self.dit.apply(
+                params, lat.astype(jnp.bfloat16), t_frame, ctx, packed=True,
+                latent_frame_zero=lfz, attn_impl=self.attn_impl,
+                cache_list=cache_list, block_cache=cache)
+            return pad_v(lat, out.astype(lat.dtype))
+
+        return samplers.euler_sample_segment_cached(
+            full, cached, latent, sig, lfz, cache_interval=cache_interval,
+            history_t=history_t)
+
     @functools.partial(jax.jit, static_argnums=(0,))
     def _decode_p(self, params, z):
         return self.vae.apply(params, z, method=self.vae.decode)
@@ -299,6 +331,9 @@ class TI2VPipeline:
         if sampler == "euler":
             return self._sample_segment(self.dit_params, latent, ctx, history_t,
                                         steps, shift, lfz)
+        if sampler == "teacache":
+            return self._sample_segment_teacache(
+                self.dit_params, latent, ctx, history_t, steps, shift, lfz)
         return self._sample_segment_tts(
             self.dit_params, latent, ctx, history_t, steps, shift, lfz, sampler,
             jax.random.PRNGKey(seed + 7919))

@@ -44,6 +44,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--sample_num", type=int, default=1, help="autoregressive segments")
     p.add_argument("--sde", action="store_true", help="TTS SDE churn sampling")
     p.add_argument("--time_travel", action="store_true", help="TTS lookahead sampling")
+    p.add_argument("--teacache", action="store_true",
+                   help="block-residual caching between denoise steps")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output_dir", default="./outputs")
     p.add_argument("--smoke", action="store_true", help="tiny shapes, random weights")
@@ -142,7 +144,9 @@ def main(argv=None):
 
         refiner = get_refiner(args.refiner_model)
         captions = [refiner(c) for c in captions]
-    sampler = "sde" if args.sde else ("time_travel" if args.time_travel else "euler")
+    sampler = ("sde" if args.sde else
+               "time_travel" if args.time_travel else
+               "teacache" if args.teacache else "euler")
 
     t0 = time.time()
     if args.t2v or args.jpg_dir is None:
