@@ -125,3 +125,29 @@ def test_streaming_decode_matches_full_clip(rng_np):
     assert stream.shape == full.shape
     np.testing.assert_allclose(np.asarray(stream), np.asarray(full),
                                atol=1e-4, rtol=1e-3)
+
+
+@requires_reference
+def test_decoder_psnr_vs_reference(rng_np):
+    """North-star quality check (BASELINE.md): per-frame PSNR of our decode
+    vs the torch reference must be >= 35 dB (it is ~inf at fp32)."""
+    import torch
+
+    from yume_tpu.utils.metrics import per_frame_psnr
+
+    ref = _load_reference_vae()
+    torch.manual_seed(1)
+    tmodel = ref.WanVAE_(
+        dim=16, dec_dim=24, z_dim=8, dim_mult=[1, 2, 4, 4], num_res_blocks=2,
+        attn_scales=[], temperal_downsample=[False, True, True],
+    ).eval()
+    params = convert_vae22_state_dict(tmodel.state_dict())
+    model = WanVAE(TINY, dec_dim=24)
+
+    z = rng_np.standard_normal((1, 8, 3, 4, 4)).astype(np.float32)
+    with torch.no_grad():
+        want = np.clip(tmodel.decode(torch.from_numpy(z), scale=[0.0, 1.0]).numpy(), -1, 1)
+    got = np.asarray(model.apply(params, jnp.asarray(z.transpose(0, 2, 3, 4, 1)),
+                                 method=model.decode)).transpose(0, 4, 1, 2, 3)
+    p = per_frame_psnr(got, want, frame_axis=2)
+    assert (p >= 35.0).all(), p
