@@ -178,3 +178,35 @@ def test_packed_forward_matches_reference(rng_np, f_hist):
     got_t = np.asarray(got)[0].transpose(3, 0, 1, 2)
     assert got_t.shape == want.shape
     np.testing.assert_allclose(got_t, want, atol=2e-3, rtol=2e-3)
+
+
+@requires_reference
+def test_unpacked_per_token_timesteps_match_reference(rng_np):
+    """Validates the compact per-frame AdaLN modulation against the
+    reference's true per-token computation (the [B, L, 6, dim] path,
+    wan23/modules/model.py:801-812) with DIFFERENT timesteps per frame —
+    the diffusion-forcing inference configuration."""
+    import torch
+
+    import jax.numpy as jnp
+
+    tmodel, ours, params = _build_pair()
+    f, h, w = 3, 8, 8
+    tokens_per_frame = (h // 2) * (w // 2)
+    x = rng_np.standard_normal((8, f, h, w)).astype(np.float32)
+    ctx = rng_np.standard_normal((16, 16)).astype(np.float32)
+    t_frames = np.array([0.0, 311.0, 856.0], np.float32)
+    tvec = np.repeat(t_frames, tokens_per_frame)[None]  # [1, L] per-token
+
+    with torch.no_grad():
+        want = tmodel(
+            [torch.from_numpy(x)], t=torch.from_numpy(tvec),
+            context=[torch.from_numpy(ctx)], seq_len=tvec.shape[1], flag=False,
+        )[0].numpy()
+
+    xj = jnp.asarray(x.transpose(1, 2, 3, 0))[None]
+    tj = jnp.asarray(t_frames)[None]
+    cj = jnp.asarray(ctx)[None]
+    got = ours.apply(params, xj, tj, cj, packed=False, attn_impl="xla")
+    got_t = np.asarray(got)[0].transpose(3, 0, 1, 2)
+    np.testing.assert_allclose(got_t, want, atol=2e-3, rtol=2e-3)
