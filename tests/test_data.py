@@ -100,3 +100,18 @@ def test_prefetch_loader_propagates_errors():
         pass
     finally:
         loader.close()
+
+
+def test_offload_slot():
+    import jax.numpy as jnp
+
+    from yume_tpu.utils.offload import OffloadSlot
+
+    slot = OffloadSlot()
+    slot.register("a", {"w": jnp.ones((4, 4))})
+    slot.register("b", {"w": jnp.zeros((2, 2))})
+    pa = slot.use("a")
+    assert float(pa["w"].sum()) == 16.0
+    pb = slot.use("b")
+    assert float(pb["w"].sum()) == 0.0
+    assert "a" not in slot._device  # evicted
