@@ -59,6 +59,7 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def load_pipeline(args):
     from .configs import CONFIGS
+    from .pipelines.i2v import I2VPipeline
     from .pipelines.ti2v import TI2VPipeline
 
     cfg = CONFIGS[args.config]()
@@ -79,10 +80,12 @@ def load_pipeline(args):
                         num_heads=2, num_layers=1, text_len=32),
             latent_frame_zero=2,
         )
-    pipe = TI2VPipeline.from_config(
+    cls = I2VPipeline if (cfg.name == "i2v-14B" and not args.smoke) else TI2VPipeline
+    pipe = cls.from_config(
         cfg, jax.random.PRNGKey(args.seed), init_t5=True,
         latent_shape=(3, 4, 4) if args.smoke else (2, 16, 16),
         dtype=jnp.float32 if args.smoke else jnp.bfloat16,
+        **(dict(init_clip=True) if cls is I2VPipeline else {}),
     )
     if args.ckpt_dir:
         load_torch_weights(pipe, args.ckpt_dir)
@@ -148,7 +151,39 @@ def main(argv=None):
                "time_travel" if args.time_travel else
                "teacache" if args.teacache else "euler")
 
+    from .pipelines.i2v import I2VPipeline
+
     t0 = time.time()
+    if isinstance(pipe, I2VPipeline):
+        # 14B CFG path (reference fastvideo/sample/sample.py): image (or
+        # first video frame) conditioning, CFG Euler, generate_next rollout
+        ctx = encode(captions[0])
+        ctx_null = encode(args.neg_prompt or cfg.sample_neg_prompt)
+        img = load_image(
+            sorted(os.path.join(args.jpg_dir, f) for f in os.listdir(args.jpg_dir)
+                   if f.lower().endswith((".jpg", ".png", ".jpeg")))[0],
+            size=(size[1], size[0]),
+        )
+        latents, video = pipe.generate(
+            jnp.asarray(img)[None, None], ctx, ctx_null, frame_num=frame_num,
+            steps=steps, shift=args.shift, guide_scale=args.guide_scale,
+            seed=args.seed)
+        save_video(np.asarray(video[0]),
+                   os.path.join(args.output_dir, "segment_000.mp4"),
+                   fps=cfg.sample_fps)
+        for s_idx in range(1, args.sample_num):
+            cap = captions[min(s_idx, len(captions) - 1)]
+            ctx = encode(cap)
+            latents, video = pipe.generate_next(
+                video, ctx, ctx_null, frame_zero=32, steps=steps,
+                shift=args.shift, guide_scale=args.guide_scale,
+                seed=args.seed + s_idx)
+            save_video(np.asarray(video[0, -32:]),
+                       os.path.join(args.output_dir, f"segment_{s_idx:03d}.mp4"),
+                       fps=cfg.sample_fps)
+        print(f"--> {args.sample_num} segment(s) in {time.time() - t0:.1f}s")
+        return 0
+
     if args.t2v or args.jpg_dir is None:
         ctx = encode(captions[0])
         video = pipe.generate_t2v(
