@@ -198,8 +198,9 @@ def main(argv=None):
                    if f.lower().endswith((".jpg", ".png", ".jpeg")))[0],
             size=(size[1], size[0]),
         )
-        # repeat-16 first-frame conditioning (reference sample.py:711)
-        frames = jnp.asarray(np.repeat(img[None], 16, 0))[None]
+        # repeat-N first-frame conditioning (reference sample.py:711 uses 16;
+        # clamp to the requested duration)
+        frames = jnp.asarray(np.repeat(img[None], min(16, frame_num), 0))[None]
         first_latents, _ = pipe.encode_image_conditioning(frames, frame_num)
         ctx = encode(captions[0])
         first_latents = pipe.generate_segment(
