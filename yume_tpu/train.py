@@ -198,7 +198,7 @@ def main(argv=None):
         if args.Distil:
             # one-step denoised tail vs real tail (reference :320-331)
             real = batch["latents"][0, -lfz:]
-            fake = real + 0.1 * jax.random.normal(jax.random.fold_in(rng, -step),
+            fake = real + 0.1 * jax.random.normal(jax.random.fold_in(rng, step + 1_000_000),
                                                   real.shape)
             disc_state, d_loss = disc_step(disc_state, real, fake)
             loss_str = f"loss={loss:.4f} d_loss={float(d_loss):.4f}"
