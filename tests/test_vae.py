@@ -151,3 +151,69 @@ def test_decoder_psnr_vs_reference(rng_np):
                                  method=model.decode)).transpose(0, 4, 1, 2, 3)
     p = per_frame_psnr(got, want, frame_axis=2)
     assert (p >= 35.0).all(), p
+
+
+def _load_reference_vae21():
+    spec = importlib.util.spec_from_file_location(
+        "ref_vae21", "/root/reference/wan/modules/vae.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_vae21"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+TINY21 = VAEConfig(
+    z_dim=4, base_dim=16, dim_mult=(1, 2, 4, 4), num_res_blocks=2,
+    temporal_downsample=(True, True, False), stride=(4, 8, 8), patchify=1,
+    arch="wan21",
+)
+
+
+@requires_reference
+def test_wan21_encoder_matches_reference(rng_np):
+    import torch
+
+    from yume_tpu.utils.checkpoint import convert_vae21_state_dict
+
+    ref = _load_reference_vae21()
+    torch.manual_seed(3)
+    tmodel = ref.WanVAE_(
+        dim=16, z_dim=4, dim_mult=[1, 2, 4, 4], num_res_blocks=2,
+        attn_scales=[], temperal_downsample=[True, True, False],
+    ).eval()
+    params = convert_vae21_state_dict(tmodel.state_dict())
+    model = WanVAE(TINY21)
+
+    x = rng_np.standard_normal((1, 3, 9, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel.encode(torch.from_numpy(x), scale=[0.0, 1.0]).numpy()
+    got = model.apply(params, jnp.asarray(x.transpose(0, 2, 3, 4, 1)),
+                      method=model.encode)
+    got_t = np.asarray(got).transpose(0, 4, 1, 2, 3)
+    np.testing.assert_allclose(got_t, want, atol=2e-4, rtol=2e-3)
+
+
+@requires_reference
+def test_wan21_decoder_matches_reference(rng_np):
+    import torch
+
+    from yume_tpu.utils.checkpoint import convert_vae21_state_dict
+
+    ref = _load_reference_vae21()
+    torch.manual_seed(4)
+    tmodel = ref.WanVAE_(
+        dim=16, z_dim=4, dim_mult=[1, 2, 4, 4], num_res_blocks=2,
+        attn_scales=[], temperal_downsample=[True, True, False],
+    ).eval()
+    params = convert_vae21_state_dict(tmodel.state_dict())
+    model = WanVAE(TINY21)
+
+    z = rng_np.standard_normal((1, 4, 3, 4, 4)).astype(np.float32)
+    with torch.no_grad():
+        want = np.clip(tmodel.decode(torch.from_numpy(z), scale=[0.0, 1.0]).numpy(), -1, 1)
+    got = model.apply(params, jnp.asarray(z.transpose(0, 2, 3, 4, 1)),
+                      method=model.decode)
+    got_t = np.asarray(got).transpose(0, 4, 1, 2, 3)
+    assert got_t.shape == want.shape
+    np.testing.assert_allclose(got_t, want, atol=2e-4, rtol=2e-3)

@@ -310,6 +310,38 @@ def convert_t5_state_dict(sd: Mapping[str, Any], num_layers: int) -> Dict:
     return {"params": params}
 
 
+def convert_clip_visual_state_dict(sd: Mapping[str, Any], num_layers: int = 32,
+                                   prefix: str = "visual.") -> Dict:
+    """Map the reference CLIP ViT-H visual tower (wan/modules/clip.py
+    VisionTransformer naming) onto yume_tpu.models.clip.CLIPVisual params.
+    Only the first num_layers-1 blocks matter (use_31_block output)."""
+    params: Dict = {}
+
+    def p(k):
+        return sd[prefix + k]
+
+    set_in(params, "patch_embedding/kernel",
+           _t(p("patch_embedding.weight")).transpose(2, 3, 1, 0))
+    set_in(params, "cls_embedding", _t(p("cls_embedding")))
+    set_in(params, "pos_embedding", _t(p("pos_embedding")))
+    set_in(params, "pre_norm/scale", _t(p("pre_norm.weight")))
+    set_in(params, "pre_norm/bias", _t(p("pre_norm.bias")))
+    for i in range(num_layers - 1):
+        src, dst = f"transformer.{i}", f"blocks_{i}"
+        for n, ours in (("norm1", "norm1"), ("norm2", "norm2")):
+            set_in(params, f"{dst}/{ours}/scale", _t(p(f"{src}.{n}.weight")))
+            set_in(params, f"{dst}/{ours}/bias", _t(p(f"{src}.{n}.bias")))
+        set_in(params, f"{dst}/to_qkv/kernel", dense_kernel(p(f"{src}.attn.to_qkv.weight")))
+        set_in(params, f"{dst}/to_qkv/bias", _t(p(f"{src}.attn.to_qkv.bias")))
+        set_in(params, f"{dst}/proj/kernel", dense_kernel(p(f"{src}.attn.proj.weight")))
+        set_in(params, f"{dst}/proj/bias", _t(p(f"{src}.attn.proj.bias")))
+        set_in(params, f"{dst}/mlp_0/kernel", dense_kernel(p(f"{src}.mlp.0.weight")))
+        set_in(params, f"{dst}/mlp_0/bias", _t(p(f"{src}.mlp.0.bias")))
+        set_in(params, f"{dst}/mlp_2/kernel", dense_kernel(p(f"{src}.mlp.2.weight")))
+        set_in(params, f"{dst}/mlp_2/bias", _t(p(f"{src}.mlp.2.bias")))
+    return {"params": params}
+
+
 def convert_xlm_roberta_state_dict(sd: Mapping[str, Any], num_layers: int) -> Dict:
     """Map the reference XLM-RoBERTa text tower (wan/modules/xlm_roberta.py
     naming, incl. the CLIP projection head of clip.py:303-326) onto
