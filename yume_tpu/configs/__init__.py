@@ -42,6 +42,7 @@ class DiTConfig:
     # 14B i2v variant: CLIP image-context branch with 257 tokens prepended
     # to the text context (reference wan/modules/model.py:370-371).
     image_context_len: int = 0  # 257 for i2v-14B, 0 otherwise
+    image_dim: int = 1280  # CLIP feature width feeding MLPProj (14B)
     # RoPE table length (reference wan23/modules/model.py:475: rope_params(1024, ...))
     rope_max_len: int = 1024
     rope_theta: float = 10000.0

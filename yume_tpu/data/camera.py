@@ -126,3 +126,38 @@ def metrics_caption(avg_speed: float, avg_angle: float, avg_rot: float) -> str:
         f"Angular change rate (turn speed):{avg_angle}."
         f"View rotation speed:{avg_rot}."
     )
+
+
+def plucker_rays(K: np.ndarray, c2w: np.ndarray, H: int, W: int,
+                 flip_x: np.ndarray | None = None) -> np.ndarray:
+    """Per-pixel Plücker ray embedding [B, V, H, W, 6].
+
+    Equivalent of the reference's `ray_condition`
+    (fastvideo/sample/sample.py:443-487): pixel centers are unprojected with
+    intrinsics K = [B, V, (fx, fy, cx, cy)], rotated into world space by the
+    c2w [B, V, 4, 4] poses, and encoded as (o × d, d).
+
+    Args:
+        flip_x: optional [V] bool — mirror the x sampling for those views.
+    """
+    b, v = K.shape[:2]
+    j, i = np.meshgrid(np.arange(H, dtype=np.float64),
+                       np.arange(W, dtype=np.float64), indexing="ij")
+    i = np.broadcast_to(i.reshape(1, 1, H * W), (b, v, H * W)) + 0.5
+    j = np.broadcast_to(j.reshape(1, 1, H * W), (b, v, H * W)) + 0.5
+    if flip_x is not None and np.any(flip_x):
+        i_flip = np.flip(np.arange(W, dtype=np.float64)) + 0.5
+        i_flip = np.broadcast_to(
+            np.tile(i_flip, H).reshape(1, 1, H * W), (b, 1, H * W))
+        i = i.copy()
+        i[:, np.asarray(flip_x, bool)] = i_flip
+    fx, fy, cx, cy = [K[..., k:k + 1] for k in range(4)]  # [B,V,1]
+    zs = np.ones_like(i)
+    xs = (i - cx) / fx
+    ys = (j - cy) / fy
+    d = np.stack([xs, ys, zs], axis=-1)                       # [B,V,HW,3]
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    rays_d = d @ np.swapaxes(c2w[..., :3, :3], -1, -2)        # world dirs
+    rays_o = np.broadcast_to(c2w[..., None, :3, 3], rays_d.shape)
+    dxo = np.cross(rays_o, rays_d)
+    return np.concatenate([dxo, rays_d], axis=-1).reshape(b, v, H, W, 6)

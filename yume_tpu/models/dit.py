@@ -432,8 +432,10 @@ class WanDiT(nn.Module):
         self.text_embedding_0 = nn.Dense(c.dim, dtype=self.dtype)
         self.text_embedding_2 = nn.Dense(c.dim, dtype=self.dtype)
         if c.image_context_len:
+            # MLPProj (reference wan/modules/model.py:530-541):
+            # LN(1280) → Linear(1280→1280) → GELU(exact) → Linear(1280→dim) → LN(dim)
             self.img_emb_norm1 = nn.LayerNorm(dtype=jnp.float32)
-            self.img_emb_1 = nn.Dense(c.dim, dtype=self.dtype)
+            self.img_emb_1 = nn.Dense(c.image_dim, dtype=self.dtype)
             self.img_emb_3 = nn.Dense(c.dim, dtype=self.dtype)
             self.img_emb_norm4 = nn.LayerNorm(dtype=jnp.float32)
         block_cls = nn.remat(DiTBlock, static_argnums=(5,)) if self.remat else DiTBlock
@@ -492,11 +494,12 @@ class WanDiT(nn.Module):
         return self.text_embedding_2(h)
 
     def _img_embed(self, clip_ctx: jax.Array) -> jax.Array:
-        """14B MLPProj for 257 CLIP tokens (reference wan/modules/model.py:506-528)."""
-        c = self.cfg
+        """14B MLPProj for 257 CLIP tokens (reference
+        wan/modules/model.py:530-541): LN → Linear(clip_dim→clip_dim) →
+        exact GELU → Linear(→dim) → LN."""
         h = self.img_emb_norm1(clip_ctx.astype(jnp.float32))
         h = self.img_emb_1(h.astype(self.dtype))
-        h = nn.gelu(h, approximate=True)
+        h = nn.gelu(h, approximate=False)
         h = self.img_emb_3(h)
         return self.img_emb_norm4(h.astype(jnp.float32)).astype(self.dtype)
 

@@ -30,6 +30,8 @@ def build_argparser():
     p.add_argument("--output_dir", default="./checkpoints")
     p.add_argument("--max_train_steps", type=int, default=100)
     p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--optimizer", default="adamw",
+                   choices=["adamw", "adam8bit"])
     p.add_argument("--checkpointing_steps", type=int, default=25)
     p.add_argument("--validation_steps", type=int, default=0)
     p.add_argument("--MVDT", action="store_true")
@@ -117,6 +119,7 @@ def main(argv=None):
     params = shard_params(params, mesh)
 
     tc = TrainConfig(learning_rate=args.learning_rate, latent_frame_zero=lfz,
+                     optimizer=args.optimizer,
                      mvdt=args.MVDT)
     state = init_train_state(params, tc)
     import random as _random

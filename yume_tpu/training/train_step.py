@@ -41,11 +41,21 @@ class TrainConfig:
     latent_frame_zero: int = 8
     mvdt: bool = False
     mask_history_p: float = 0.2  # masks_like noisy-history prob (utils.py:117)
+    optimizer: str = "adamw"  # 'adamw' | 'adam8bit' (int8 moments, optim.py)
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """AdamW + global-norm clipping (≙ Adam8bit + clip_grad_norm_,
-    fastvideo/distill_model.py:598-616, 363)."""
+    fastvideo/distill_model.py:598-616, 363). ``optimizer='adam8bit'``
+    stores the moments int8-quantized like the reference's bitsandbytes
+    optimizer (2 bytes/param of state instead of 8)."""
+    if cfg.optimizer == "adam8bit":
+        from .optim import adam8bit
+
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip),
+            adam8bit(cfg.learning_rate, weight_decay=cfg.weight_decay),
+        )
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.adamw(cfg.learning_rate, b1=0.9, b2=0.999,
