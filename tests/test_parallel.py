@@ -95,3 +95,52 @@ def test_fsdp_sharded_inference_matches_dense(rng_np):
     out = fn(sharded, x, t, ctx)
     np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_tp_sharded_inference_matches_dense(rng_np):
+    """Megatron-style TP via GSPMD param specs must be numerically identical
+    to the dense forward (XLA inserts the per-layer all-reduces)."""
+    import jax.numpy as jnp
+
+    from yume_tpu.configs import DiTConfig
+    from yume_tpu.models.dit import WanDiT
+    from yume_tpu.parallel.tensor_parallel import make_tp_mesh, shard_params_tp
+
+    cfg = DiTConfig(model_type="ti2v", in_dim=8, out_dim=8, dim=64,
+                    ffn_dim=128, freq_dim=32, text_dim=16, num_heads=8,
+                    num_layers=2, framepack=True)
+    dit = WanDiT(cfg, dtype=jnp.float32)
+    x = jnp.asarray(rng_np.standard_normal((1, 5, 8, 8, 8)).astype(np.float32))
+    t = jnp.zeros((1, 5)).at[:, -2:].set(600.0)
+    ctx = jnp.asarray(rng_np.standard_normal((1, 16, 16)).astype(np.float32))
+    params = dit.init(jax.random.PRNGKey(0), x, t, ctx, packed=True,
+                      latent_frame_zero=2)
+    dense = dit.apply(params, x, t, ctx, packed=True, latent_frame_zero=2,
+                      attn_impl="xla")
+
+    mesh = make_tp_mesh(data=1, fsdp=2, tp=4)
+    sharded = shard_params_tp(params, mesh)
+    # q kernel is column(tp)-and-row(fsdp) sharded; o kernel transposed
+    qk = sharded["params"]["blocks_0"]["self_attn"]["q"]["kernel"]
+    ok = sharded["params"]["blocks_0"]["self_attn"]["o"]["kernel"]
+    assert qk.sharding.spec == P("fsdp", "tp")
+    assert ok.sharding.spec == P("tp", "fsdp")
+    fn = jax.jit(lambda p, x, t, c: dit.apply(
+        p, x, t, c, packed=True, latent_frame_zero=2, attn_impl="xla"))
+    out = fn(sharded, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_tp_mesh_axis_fallback(rng_np):
+    """Params whose axis doesn't divide the tp size replicate that axis
+    instead of erroring."""
+    from yume_tpu.parallel.tensor_parallel import make_tp_mesh, shard_params_tp
+
+    mesh = make_tp_mesh(data=1, fsdp=1, tp=8)
+    params = {"blocks_0": {"self_attn": {"q": {
+        "kernel": jnp.zeros((12, 12)), "bias": jnp.zeros((12,))}}}}
+    s = shard_params_tp(params, mesh)
+    spec = s["blocks_0"]["self_attn"]["q"]["kernel"].sharding.spec
+    assert "tp" not in spec  # 12 % 8 != 0 → tp axis dropped
+    assert "tp" not in s["blocks_0"]["self_attn"]["q"]["bias"].sharding.spec
