@@ -66,3 +66,20 @@ def test_i2v_generate_and_next():
                                           steps=2)
     assert video2.shape[1] == 9
     assert np.isfinite(np.asarray(video2)).all()
+
+
+def test_i2v_int8_generate():
+    """14B-style pipeline with the int8 trunk end to end."""
+    pipe = I2VPipeline.from_config(
+        TINY, jax.random.PRNGKey(0), init_t5=True, init_clip=True,
+        latent_shape=(3, 4, 4), dtype=jnp.float32,
+    )
+    ids = jnp.zeros((1, 16), jnp.int32)
+    ctx = pipe.encode_text(ids, jnp.ones_like(ids))
+    pipe.quantize_int8()
+    assert isinstance(pipe.dit_params, tuple)
+    img = jnp.zeros((1, 1, 32, 32, 3))
+    latents, video = pipe.generate(img, ctx, ctx, frame_num=5, steps=2)
+    assert np.isfinite(np.asarray(latents)).all()
+    assert np.isfinite(np.asarray(video)).all()
+

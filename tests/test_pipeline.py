@@ -60,3 +60,25 @@ def test_image_conditioning():
     assert z.shape == (1, 3, 4, 4, 8)
     np.testing.assert_allclose(np.asarray(mask2[0, -2:]), 1.0)
     np.testing.assert_allclose(np.asarray(mask2[0, :1]), 0.0)
+
+
+def test_int8_segment_matches_bf16():
+    """quantize_int8() must leave the segment sampler working and (at tiny,
+    sub-threshold dims where nothing actually quantizes) exactly equal."""
+    pipe = _pipe()
+    ids = jnp.zeros((1, 16), jnp.int32)
+    ctx = pipe.encode_text(ids, jnp.ones_like(ids))
+    hist = jax.random.normal(jax.random.PRNGKey(5), (1, 3, 4, 4, 8))
+    want = pipe.generate_segment(hist, ctx, steps=2)
+    pipe.quantize_int8()
+    assert isinstance(pipe.dit_params, tuple)
+    got = pipe.generate_segment(hist, ctx, steps=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+    # unsupported paths fail loudly, not wrongly
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        pipe.generate_t2v(ctx, size=(32, 32), frame_num=5, steps=2)
+    with pytest.raises(NotImplementedError):
+        pipe.generate_segment(hist, ctx, steps=2, sampler="sde")

@@ -1,0 +1,70 @@
+"""Int8 trunk: scan-over-layers parity and quantization accuracy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yume_tpu.configs import DiTConfig
+from yume_tpu.models.dit import WanDiT
+from yume_tpu.models.quantized import (Q8, int8_dit_apply, quantize_dit_blocks,
+                                       quantized_bytes)
+
+
+def _setup(rng_np, dim, ffn_dim, heads):
+    cfg = DiTConfig(model_type="ti2v", in_dim=8, out_dim=8, dim=dim,
+                    ffn_dim=ffn_dim, freq_dim=32, text_dim=16,
+                    num_heads=heads, num_layers=3, framepack=True)
+    dit = WanDiT(cfg, dtype=jnp.float32)
+    x = jnp.asarray(rng_np.standard_normal((1, 5, 8, 8, 8)).astype(np.float32))
+    t = jnp.zeros((1, 5)).at[:, -2:].set(600.0)
+    ctx = jnp.asarray(rng_np.standard_normal((1, 16, 16)).astype(np.float32))
+    params = dit.init(jax.random.PRNGKey(0), x, t, ctx, packed=True,
+                      latent_frame_zero=2)
+    # the head kernel zero-initializes → outputs would be trivially equal
+    hk = params["params"]["head"]["head"]["kernel"]
+    params["params"]["head"]["head"]["kernel"] = (
+        jax.random.normal(jax.random.PRNGKey(7), hk.shape, hk.dtype) * 0.02)
+    dense = dit.apply(params, x, t, ctx, packed=True, latent_frame_zero=2,
+                      attn_impl="xla")
+    return cfg, dit, params, x, t, ctx, dense
+
+
+def test_scan_trunk_matches_loop_exactly(rng_np):
+    """With dims below the quantization threshold nothing quantizes, so the
+    scanned trunk must reproduce the python-loop trunk to fp32 noise."""
+    cfg, dit, params, x, t, ctx, dense = _setup(rng_np, 64, 96, 8)
+    other, stacked = quantize_dit_blocks(params, cfg.num_layers)
+    assert not any(isinstance(l, Q8) for l in jax.tree_util.tree_leaves(
+        stacked, is_leaf=lambda l: isinstance(l, Q8)))
+    out = int8_dit_apply(dit, other, stacked, x, t, ctx, latent_frame_zero=2,
+                         attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_int8_trunk_close_to_dense(rng_np):
+    """At quantizable dims the int8 trunk stays within ~3% relative L2 of
+    the bf16/fp32 forward and halves the trunk bytes."""
+    cfg, dit, params, x, t, ctx, dense = _setup(rng_np, 128, 256, 8)
+    other, stacked = quantize_dit_blocks(params, cfg.num_layers)
+    q_leaves = [l for l in jax.tree_util.tree_leaves(
+        stacked, is_leaf=lambda l: isinstance(l, Q8)) if isinstance(l, Q8)]
+    assert q_leaves and q_leaves[0].q.dtype == jnp.int8
+
+    out = int8_dit_apply(dit, other, stacked, x, t, ctx, latent_frame_zero=2,
+                         attn_impl="xla")
+    d = np.asarray(dense)
+    rel = np.linalg.norm(np.asarray(out) - d) / np.linalg.norm(d)
+    assert rel < 0.03, rel
+
+    q8, bf16 = quantized_bytes(stacked)
+    assert q8 < 0.6 * bf16  # ≈½ for kernel-dominated trunks
+
+
+def test_int8_apply_jits(rng_np):
+    cfg, dit, params, x, t, ctx, _ = _setup(rng_np, 128, 256, 8)
+    other, stacked = quantize_dit_blocks(params, cfg.num_layers)
+    fn = jax.jit(lambda o, s, x, t, c: int8_dit_apply(
+        dit, o, s, x, t, c, latent_frame_zero=2, attn_impl="xla"))
+    out = fn(other, stacked, x, t, ctx)
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,115 @@
+"""Int8 weight-only quantization for the DiT trunk — 14B on one chip.
+
+The reference runs Wan2.1-14B only under multi-GPU FSDP (SURVEY §2.8;
+fastvideo/sample/sample.py:979-983); 28 GB of bf16 weights cannot fit a
+single 16 GB TPU chip. Here the transformer blocks — >95% of the params —
+are stored as int8 with one fp32 scale per output channel (~14 GB for 14B),
+stacked across layers, and the trunk runs as a `lax.scan` whose body
+dequantizes ONE block slice at a time: peak extra HBM is a single block's
+bf16 kernels (~250 MB for 5B, ~700 MB for 14B) instead of the whole model.
+
+Embedding convs, time/text embeds, and the head stay bf16 (tiny). The scan
+also compiles the trunk once instead of once per layer — the same trick as
+scan-over-layers param stacking.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ..models.dit import DiTBlock, WanDiT
+
+
+@flax.struct.dataclass
+class Q8:
+    """Per-output-channel int8 weight: w ≈ q.astype(f32) * scale."""
+    q: jax.Array       # int8 [..., in, out]
+    scale: jax.Array   # fp32 [..., 1, out]
+
+
+def _quantize_leaf(w: jax.Array):
+    """2D (or stacked 3D) kernel → Q8; small leaves pass through unchanged
+    (cast params to bf16 BEFORE quantizing if serving memory matters)."""
+    if w.ndim >= 2 and w.shape[-1] >= 128 and w.shape[-2] >= 128:
+        a = jnp.abs(w).max(axis=-2, keepdims=True)
+        scale = (a / 127.0).astype(jnp.float32)
+        safe = jnp.where(scale > 0, scale, 1.0)
+        q = jnp.clip(jnp.round(w / safe), -127, 127).astype(jnp.int8)
+        return Q8(q=q, scale=scale)
+    return w
+
+
+def _dequantize_leaf(leaf, dtype=jnp.bfloat16):
+    if isinstance(leaf, Q8):
+        return (leaf.q.astype(jnp.float32) * leaf.scale).astype(dtype)
+    return leaf
+
+
+def quantize_dit_blocks(params: Any, num_layers: int):
+    """Split WanDiT params into (other_bf16, stacked int8 blocks).
+
+    ``other`` keeps the non-block params (embeddings, time/text, head) in
+    their original dtype; the per-layer block subtrees are stacked on a new
+    leading axis and kernel leaves are int8-quantized.
+    """
+    tree = params["params"] if "params" in params else params
+    blocks = [tree[f"blocks_{i}"] for i in range(num_layers)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+    stacked_q = jax.tree_util.tree_map(_quantize_leaf, stacked)
+    other = {k: v for k, v in tree.items() if not k.startswith("blocks_")}
+    return {"params": other}, stacked_q
+
+
+def int8_dit_apply(
+    dit: WanDiT,
+    other: Any,
+    stacked_q: Any,
+    x: jax.Array,
+    t_frame: jax.Array,
+    context: jax.Array,
+    *,
+    latent_frame_zero: int = 8,
+    clip_context: Optional[jax.Array] = None,
+    attn_impl: Optional[str] = None,
+) -> jax.Array:
+    """Packed DiT forward with the int8 trunk scanned over layers.
+
+    Numerically ≈ the bf16 forward within weight-quantization error (int8
+    per-channel keeps per-matmul relative error ≲1%).
+    """
+    emb = dit.apply(other, x, t_frame, context, latent_frame_zero,
+                    clip_context, method=dit.embed_packed)
+    mod = dit.apply(other, emb["t_values"], emb["idx"],
+                    method=WanDiT._time_mod)
+    block = DiTBlock(dit.cfg)
+    ctx, cos, sin = emb["ctx"], emb["cos"], emb["sin"]
+
+    def body(tok, qslice):
+        p = jax.tree_util.tree_map(
+            lambda l: _dequantize_leaf(l, dit.dtype), qslice,
+            is_leaf=lambda l: isinstance(l, Q8))
+        tok = block.apply({"params": p}, tok, mod, ctx, cos, sin, attn_impl)
+        return tok, None
+
+    out, _ = jax.lax.scan(body, emb["tokens"], stacked_q)
+    out = dit.apply(other, out, mod,
+                    method=lambda m, tok, mo: m.head(tok, mo))
+    return dit._unpatchify(out[:, emb["l_hist"]:], emb["tail_grid"])
+
+
+def quantized_bytes(stacked_q: Any) -> Tuple[int, int]:
+    """(int8 bytes, equivalent bf16 bytes) for reporting."""
+    q8 = bf16 = 0
+    for leaf in jax.tree_util.tree_leaves(
+            stacked_q, is_leaf=lambda l: isinstance(l, Q8)):
+        if isinstance(leaf, Q8):
+            q8 += leaf.q.size + leaf.scale.size * 4
+            bf16 += leaf.q.size * 2
+        else:
+            q8 += leaf.size * 2
+            bf16 += leaf.size * 2
+    return q8, bf16

@@ -190,11 +190,19 @@ class I2VPipeline:
 
         def denoise(latent, t_frame, context):
             x_in = jnp.concatenate([latent, y], axis=-1).astype(jnp.bfloat16)
-            out = self.dit.apply(
-                params, x_in, t_frame, context, packed=True,
-                latent_frame_zero=lfz, clip_context=clip_ctx,
-                attn_impl=self.attn_impl,
-            ).astype(latent.dtype)
+            if isinstance(params, tuple):  # int8 trunk (quantize_int8())
+                from ..models.quantized import int8_dit_apply
+
+                out = int8_dit_apply(
+                    self.dit, params[0], params[1], x_in, t_frame, context,
+                    latent_frame_zero=lfz, clip_context=clip_ctx,
+                    attn_impl=self.attn_impl).astype(latent.dtype)
+            else:
+                out = self.dit.apply(
+                    params, x_in, t_frame, context, packed=True,
+                    latent_frame_zero=lfz, clip_context=clip_ctx,
+                    attn_impl=self.attn_impl,
+                ).astype(latent.dtype)
             pad = jnp.zeros_like(latent[:, : latent.shape[1] - lfz])
             return jnp.concatenate([pad, out], axis=1)
 
@@ -209,6 +217,15 @@ class I2VPipeline:
         return samplers.cfg_euler_sample_segment(
             denoise, latent0, noise, ctx, ctx_null, sig, lfz, guide_scale
         )
+
+    def quantize_int8(self):
+        """Requantize the DiT trunk to int8 (models/quantized.py): ~½ the
+        weight HBM — the path that fits 14B (28 GB bf16) on one 16 GB chip."""
+        from ..models.quantized import quantize_dit_blocks
+
+        if not isinstance(self.dit_params, tuple):
+            self.dit_params = quantize_dit_blocks(
+                self.dit_params, self.config.dit.num_layers)
 
     def generate(
         self,

@@ -124,10 +124,18 @@ class TI2VPipeline:
         sig = sampling_sigmas(steps, shift)
 
         def denoise(lat, t_frame):
-            out = self.dit.apply(
-                params, lat.astype(jnp.bfloat16), t_frame, ctx,
-                packed=True, latent_frame_zero=lfz, attn_impl=self.attn_impl,
-            ).astype(lat.dtype)
+            if isinstance(params, tuple):  # int8 trunk (quantize_int8())
+                from ..models.quantized import int8_dit_apply
+
+                out = int8_dit_apply(
+                    self.dit, params[0], params[1], lat.astype(jnp.bfloat16),
+                    t_frame, ctx, latent_frame_zero=lfz,
+                    attn_impl=self.attn_impl).astype(lat.dtype)
+            else:
+                out = self.dit.apply(
+                    params, lat.astype(jnp.bfloat16), t_frame, ctx,
+                    packed=True, latent_frame_zero=lfz, attn_impl=self.attn_impl,
+                ).astype(lat.dtype)
             # packed DiT returns tail frames only; splice into full-length v
             pad = jnp.zeros_like(lat[:, : lat.shape[1] - lfz])
             return jnp.concatenate([pad, out], axis=1)
@@ -281,6 +289,15 @@ class TI2VPipeline:
 
     # -- public generation ---------------------------------------------------
 
+    def quantize_int8(self):
+        """Requantize the DiT trunk to int8 (segment sampler only; the
+        unpacked t2v first segment and TeaCache keep the bf16 params)."""
+        from ..models.quantized import quantize_dit_blocks
+
+        if not isinstance(self.dit_params, tuple):
+            self.dit_params = quantize_dit_blocks(
+                self.dit_params, self.config.dit.num_layers)
+
     def generate_t2v(
         self,
         ctx: jax.Array,
@@ -303,6 +320,10 @@ class TI2VPipeline:
             jax.random.PRNGKey(seed),
             (ctx.shape[0], f_lat, h_lat, w_lat, cfgv.z_dim), jnp.float32,
         )
+        if isinstance(self.dit_params, tuple):
+            raise NotImplementedError(
+                "int8 trunk supports packed segments only; run the unpacked "
+                "t2v first segment before quantize_int8()")
         latent = self._sample_t2v(self.dit_params, noise, ctx, None, steps, shift)
         return self.decode_auto(latent)
 
@@ -328,6 +349,9 @@ class TI2VPipeline:
         )
         latent = jnp.concatenate([history_latents, noise], axis=1)
         history_t = jnp.zeros((b, f_hist), jnp.float32)
+        if isinstance(self.dit_params, tuple) and sampler != "euler":
+            raise NotImplementedError(
+                f"int8 trunk supports the 'euler' sampler only, got {sampler!r}")
         if sampler == "euler":
             return self._sample_segment(self.dit_params, latent, ctx, history_t,
                                         steps, shift, lfz)
