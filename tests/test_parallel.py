@@ -144,3 +144,21 @@ def test_tp_mesh_axis_fallback(rng_np):
     spec = s["blocks_0"]["self_attn"]["q"]["kernel"].sharding.spec
     assert "tp" not in spec  # 12 % 8 != 0 → tp axis dropped
     assert "tp" not in s["blocks_0"]["self_attn"]["q"]["bias"].sharding.spec
+
+
+def test_ring_pad_masking(rng_np):
+    """Ring attention with kv_len must ignore pad keys (the sp_forward
+    token-padding path) — parity vs dense attention on the true length."""
+    mesh = make_mesh(data=1, fsdp=1, sp=8)
+    l_true, l_pad = 50, 56
+    mk = lambda l: jnp.asarray(
+        rng_np.standard_normal((1, l, 8, 16)).astype(np.float32))
+    q, k, v = mk(l_true), mk(l_true), mk(l_true)
+    want = xla_attention(q, k, v)
+
+    pad = lambda x: jnp.pad(x, ((0, 0), (0, l_pad - l_true), (0, 0), (0, 0)))
+    from yume_tpu.parallel.ulysses import sp_shard_map_attention as sp_attn
+    fn = sp_attn(mesh, "ring", kv_len=jnp.array([l_true], jnp.int32))
+    got = fn(pad(q), pad(k), pad(v))[:, :l_true]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)

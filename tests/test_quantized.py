@@ -68,3 +68,32 @@ def test_int8_apply_jits(rng_np):
         dit, o, s, x, t, c, latent_frame_zero=2, attn_impl="xla"))
     out = fn(other, stacked, x, t, ctx)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_int4_trunk_close_to_dense(rng_np):
+    """Grouped int4 stays within ~8% relative L2 and quarters the bytes."""
+    cfg, dit, params, x, t, ctx, dense = _setup(rng_np, 128, 256, 8)
+    other, stacked = quantize_dit_blocks(params, cfg.num_layers, bits=4)
+    from yume_tpu.models.quantized import Q4
+    q_leaves = [l for l in jax.tree_util.tree_leaves(
+        stacked, is_leaf=lambda l: isinstance(l, Q4)) if isinstance(l, Q4)]
+    assert q_leaves and q_leaves[0].q.dtype == jnp.uint8
+
+    out = int8_dit_apply(dit, other, stacked, x, t, ctx, latent_frame_zero=2,
+                         attn_impl="xla")
+    d = np.asarray(dense)
+    rel = np.linalg.norm(np.asarray(out) - d) / np.linalg.norm(d)
+    assert rel < 0.08, rel
+
+    q4, bf16 = quantized_bytes(stacked)
+    assert q4 < 0.35 * bf16
+
+
+def test_int4_pack_roundtrip(rng_np):
+    """Nibble pack/unpack is exact for values already on the int4 grid."""
+    from yume_tpu.models.quantized import (_dequantize_leaf, _quantize_leaf4)
+    scale = 0.013
+    w = (rng_np.integers(-7, 8, (256, 128)) * scale).astype(np.float32)
+    q = _quantize_leaf4(jnp.asarray(w), group=128)
+    back = np.asarray(_dequantize_leaf(q, jnp.float32))
+    np.testing.assert_allclose(back, w, atol=1e-6)

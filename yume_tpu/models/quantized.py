@@ -31,6 +31,15 @@ class Q8:
     scale: jax.Array   # fp32 [..., 1, out]
 
 
+@flax.struct.dataclass
+class Q4:
+    """Group-wise int4 weight (AWQ-style, two nibbles per byte packed along
+    the input dim): w ≈ (unpack(q) - 8) * scale, one fp32 scale per
+    (input-group × output-channel)."""
+    q: jax.Array       # uint8 [..., in/group, group/2, out]
+    scale: jax.Array   # fp32 [..., in/group, 1, out]
+
+
 def _quantize_leaf(w: jax.Array):
     """2D (or stacked 3D) kernel → Q8; small leaves pass through unchanged
     (cast params to bf16 BEFORE quantizing if serving memory matters)."""
@@ -43,13 +52,40 @@ def _quantize_leaf(w: jax.Array):
     return w
 
 
+def _quantize_leaf4(w: jax.Array, group: int = 128):
+    """2D kernel → Q4 (nibble-packed, grouped scales); small leaves pass."""
+    if not (w.ndim >= 2 and w.shape[-1] >= 128 and w.shape[-2] >= 128):
+        return w
+    *lead, din, dout = w.shape
+    group = min(group, din)
+    if din % group or group % 2:
+        return _quantize_leaf(w)  # int8 fallback for odd shapes
+    wg = w.reshape(*lead, din // group, group, dout)
+    a = jnp.abs(wg).max(axis=-2, keepdims=True)
+    scale = (a / 7.0).astype(jnp.float32)
+    safe = jnp.where(scale > 0, scale, 1.0)
+    qi = (jnp.clip(jnp.round(wg / safe), -7, 7) + 8).astype(jnp.uint8)
+    lo = qi[..., 0::2, :]
+    hi = qi[..., 1::2, :]
+    return Q4(q=lo | (hi << 4), scale=scale)
+
+
 def _dequantize_leaf(leaf, dtype=jnp.bfloat16):
     if isinstance(leaf, Q8):
         return (leaf.q.astype(jnp.float32) * leaf.scale).astype(dtype)
+    if isinstance(leaf, Q4):
+        q, scale = leaf.q, leaf.scale
+        lo = (q & 0xF).astype(jnp.int8) - 8
+        hi = (q >> 4).astype(jnp.int8) - 8
+        wg = jnp.stack([lo, hi], axis=-2)  # pairs → [..., G, g/2, 2, out]
+        *lead, g_, half, two, dout = wg.shape
+        wg = wg.reshape(*lead, g_, half * two, dout).astype(jnp.float32)
+        w = (wg * scale).reshape(*lead, g_ * half * two, dout)
+        return w.astype(dtype)
     return leaf
 
 
-def quantize_dit_blocks(params: Any, num_layers: int):
+def quantize_dit_blocks(params: Any, num_layers: int, bits: int = 8):
     """Split WanDiT params into (other_bf16, stacked int8 blocks).
 
     ``other`` keeps the non-block params (embeddings, time/text, head) in
@@ -59,7 +95,8 @@ def quantize_dit_blocks(params: Any, num_layers: int):
     tree = params["params"] if "params" in params else params
     blocks = [tree[f"blocks_{i}"] for i in range(num_layers)]
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
-    stacked_q = jax.tree_util.tree_map(_quantize_leaf, stacked)
+    qfn = {8: _quantize_leaf, 4: _quantize_leaf4}[bits]
+    stacked_q = jax.tree_util.tree_map(qfn, stacked)
     other = {k: v for k, v in tree.items() if not k.startswith("blocks_")}
     return {"params": other}, stacked_q
 
@@ -91,7 +128,7 @@ def int8_dit_apply(
     def body(tok, qslice):
         p = jax.tree_util.tree_map(
             lambda l: _dequantize_leaf(l, dit.dtype), qslice,
-            is_leaf=lambda l: isinstance(l, Q8))
+            is_leaf=lambda l: isinstance(l, (Q8, Q4)))
         tok = block.apply({"params": p}, tok, mod, ctx, cos, sin, attn_impl)
         return tok, None
 
@@ -105,10 +142,13 @@ def quantized_bytes(stacked_q: Any) -> Tuple[int, int]:
     """(int8 bytes, equivalent bf16 bytes) for reporting."""
     q8 = bf16 = 0
     for leaf in jax.tree_util.tree_leaves(
-            stacked_q, is_leaf=lambda l: isinstance(l, Q8)):
+            stacked_q, is_leaf=lambda l: isinstance(l, (Q8, Q4))):
         if isinstance(leaf, Q8):
             q8 += leaf.q.size + leaf.scale.size * 4
             bf16 += leaf.q.size * 2
+        elif isinstance(leaf, Q4):
+            q8 += leaf.q.size + leaf.scale.size * 4
+            bf16 += leaf.q.size * 2 * 2
         else:
             q8 += leaf.size * 2
             bf16 += leaf.size * 2

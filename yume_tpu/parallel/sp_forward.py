@@ -69,7 +69,8 @@ def sp_dit_apply(
             if jax.default_backend() == "tpu" else None,
         )
     else:
-        sp_attn = functools.partial(ring_attention, axis_name="sp")
+        sp_attn = functools.partial(ring_attention, axis_name="sp",
+                                    kv_len=kv_len)
 
     def trunk(tok, idx_s, cos_s, sin_s):
         return dit.apply(

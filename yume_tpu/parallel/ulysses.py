@@ -69,6 +69,7 @@ def ring_attention(
     *,
     axis_name: str,
     scale: Optional[float] = None,
+    kv_len: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Ring attention over a sequence-sharded kv: each step attends the
     local q block against the current kv block, merging partial softmax
@@ -76,27 +77,38 @@ def ring_attention(
     (ICI neighbour exchange). Full (non-causal) attention.
 
     q, k, v: [B, L/sp, N, D] (same shard layout). Runs inside shard_map.
+    kv_len: optional [B] global valid kv length — keys at global position
+        ≥ kv_len are masked out (pad tokens from rounding L up to a
+        multiple of sp, see sp_forward._pad_to).
     """
     sp = jax.lax.psum(1, axis_name)
     idx = jax.lax.axis_index(axis_name)
     d = q.shape[-1]
+    lk = k.shape[1]
     if scale is None:
         scale = d ** -0.5
     perm = [(i, (i + 1) % sp) for i in range(sp)]
 
     qf = q.astype(jnp.float32)
 
-    def partial_attn(kb, vb):
+    def partial_attn(kb, vb, src):
         s = jnp.einsum("bqnd,bknd->bnqk", qf, kb.astype(jnp.float32)) * scale
+        if kv_len is not None:
+            # global kv positions of this block: owner shard × lk + local
+            pos = src * lk + jnp.arange(lk)  # [Lk]
+            pad = pos[None, :] >= kv_len[:, None]  # [B, Lk]
+            s = jnp.where(pad[:, None, None, :], -1e30, s)
         m = jnp.max(s, axis=-1, keepdims=True)  # [B,N,Lq,1]
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         o = jnp.einsum("bnqk,bknd->bqnd", p, vb.astype(jnp.float32))
         return m, l, o
 
-    def body(carry, _):
+    def body(carry, j):
         kb, vb, m, l, o = carry
-        m_b, l_b, o_b = partial_attn(kb, vb)
+        # after j rotations shard ``idx`` holds the kv of shard idx - j
+        src = jax.lax.rem(idx - j + sp, sp)
+        m_b, l_b, o_b = partial_attn(kb, vb, src)
         m_new = jnp.maximum(m, m_b)
         a1 = jnp.exp(m - m_new)
         a2 = jnp.exp(m_b - m_new)
@@ -113,7 +125,7 @@ def ring_attention(
     l0 = jnp.zeros((b, n, lq, 1), jnp.float32)
     o0 = jnp.zeros((b, lq, n, d), jnp.float32)
     (_, _, m, l, o), _ = jax.lax.scan(
-        body, (k, v, m0, l0, o0), None, length=sp
+        body, (k, v, m0, l0, o0), jnp.arange(sp)
     )
     out = o / jnp.moveaxis(l, 1, 2)
     return out.astype(q.dtype)
@@ -123,6 +135,7 @@ def sp_shard_map_attention(
     mesh: Mesh,
     kind: str = "ulysses",
     impl: Optional[str] = None,
+    kv_len: Optional[jax.Array] = None,
 ) -> Callable:
     """Wrap an attention over [B, L, N, D] inputs sharded on mesh axis
     'sp' along L: the drop-in SP attention for the DiT
@@ -131,7 +144,7 @@ def sp_shard_map_attention(
 
     fn = {
         "ulysses": functools.partial(ulysses_attention, axis_name="sp", impl=impl),
-        "ring": functools.partial(ring_attention, axis_name="sp"),
+        "ring": functools.partial(ring_attention, axis_name="sp", kv_len=kv_len),
     }[kind]
 
     spec = P(None, "sp", None, None)

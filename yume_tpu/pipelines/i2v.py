@@ -218,14 +218,14 @@ class I2VPipeline:
             denoise, latent0, noise, ctx, ctx_null, sig, lfz, guide_scale
         )
 
-    def quantize_int8(self):
+    def quantize_int8(self, bits: int = 8):
         """Requantize the DiT trunk to int8 (models/quantized.py): ~½ the
         weight HBM — the path that fits 14B (28 GB bf16) on one 16 GB chip."""
         from ..models.quantized import quantize_dit_blocks
 
         if not isinstance(self.dit_params, tuple):
             self.dit_params = quantize_dit_blocks(
-                self.dit_params, self.config.dit.num_layers)
+                self.dit_params, self.config.dit.num_layers, bits=bits)
 
     def generate(
         self,

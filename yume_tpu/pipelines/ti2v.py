@@ -289,14 +289,14 @@ class TI2VPipeline:
 
     # -- public generation ---------------------------------------------------
 
-    def quantize_int8(self):
+    def quantize_int8(self, bits: int = 8):
         """Requantize the DiT trunk to int8 (segment sampler only; the
         unpacked t2v first segment and TeaCache keep the bf16 params)."""
         from ..models.quantized import quantize_dit_blocks
 
         if not isinstance(self.dit_params, tuple):
             self.dit_params = quantize_dit_blocks(
-                self.dit_params, self.config.dit.num_layers)
+                self.dit_params, self.config.dit.num_layers, bits=bits)
 
     def generate_t2v(
         self,

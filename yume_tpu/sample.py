@@ -45,8 +45,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--sde", action="store_true", help="TTS SDE churn sampling")
     p.add_argument("--time_travel", action="store_true", help="TTS lookahead sampling")
     p.add_argument("--int8", action="store_true",
-                   help="int8-quantize the DiT trunk (halves weight HBM; "
-                        "fits 14B on one chip)")
+                   help="int8-quantize the DiT trunk (halves weight HBM)")
+    p.add_argument("--int4", action="store_true",
+                   help="group-wise int4 DiT trunk (¼ weight HBM; fits 14B "
+                        "on one 16 GB chip)")
     p.add_argument("--teacache", action="store_true",
                    help="block-residual caching between denoise steps")
     p.add_argument("--seed", type=int, default=0)
@@ -130,8 +132,8 @@ def main(argv=None):
     cfg, pipe = load_pipeline(args)
     # --int8 with --t2v defers quantization until after the unpacked first
     # segment (the int8 trunk runs packed segments only)
-    if args.int8 and not args.t2v:
-        pipe.quantize_int8()
+    if (args.int8 or args.int4) and not args.t2v:
+        pipe.quantize_int8(bits=4 if args.int4 else 8)
     tok = Tokenizer(args.tokenizer, seq_len=cfg.t5.text_len,
                     vocab_size=cfg.t5.vocab_size)
 
@@ -199,8 +201,8 @@ def main(argv=None):
             seed=args.seed,
         )
         first_latents = pipe.encode_auto(video)
-        if args.int8:
-            pipe.quantize_int8()
+        if args.int8 or args.int4:
+            pipe.quantize_int8(bits=4 if args.int4 else 8)
     else:
         img = load_image(
             sorted(os.path.join(args.jpg_dir, f) for f in os.listdir(args.jpg_dir)
