@@ -32,6 +32,7 @@ def build_argparser():
     p.add_argument("--learning_rate", type=float, default=1e-5)
     p.add_argument("--optimizer", default="adamw",
                    choices=["adamw", "adam8bit"])
+    p.add_argument("--lr_warmup_steps", type=int, default=0)
     p.add_argument("--checkpointing_steps", type=int, default=25)
     p.add_argument("--validation_steps", type=int, default=0)
     p.add_argument("--MVDT", action="store_true")
@@ -120,6 +121,7 @@ def main(argv=None):
 
     tc = TrainConfig(learning_rate=args.learning_rate, latent_frame_zero=lfz,
                      optimizer=args.optimizer,
+                     lr_warmup_steps=args.lr_warmup_steps,
                      mvdt=args.MVDT)
     state = init_train_state(params, tc)
     import random as _random

@@ -42,6 +42,8 @@ class TrainConfig:
     mvdt: bool = False
     mask_history_p: float = 0.2  # masks_like noisy-history prob (utils.py:117)
     optimizer: str = "adamw"  # 'adamw' | 'adam8bit' (int8 moments, optim.py)
+    lr_warmup_steps: int = 0   # linear warmup then constant (≙ diffusers
+    #   get_scheduler('constant_with_warmup'), distill_model.py:623-631)
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -49,16 +51,23 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     fastvideo/distill_model.py:598-616, 363). ``optimizer='adam8bit'``
     stores the moments int8-quantized like the reference's bitsandbytes
     optimizer (2 bytes/param of state instead of 8)."""
+    lr = cfg.learning_rate
+    if cfg.lr_warmup_steps:
+        lr = optax.schedules.join_schedules(
+            [optax.schedules.linear_schedule(0.0, cfg.learning_rate,
+                                             cfg.lr_warmup_steps),
+             optax.schedules.constant_schedule(cfg.learning_rate)],
+            [cfg.lr_warmup_steps])
     if cfg.optimizer == "adam8bit":
         from .optim import adam8bit
 
         return optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip),
-            adam8bit(cfg.learning_rate, weight_decay=cfg.weight_decay),
+            adam8bit(lr, weight_decay=cfg.weight_decay),
         )
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adamw(cfg.learning_rate, b1=0.9, b2=0.999,
+        optax.adamw(lr, b1=0.9, b2=0.999,
                     weight_decay=cfg.weight_decay),
     )
 
