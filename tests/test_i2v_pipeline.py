@@ -83,3 +83,16 @@ def test_i2v_int8_generate():
     assert np.isfinite(np.asarray(latents)).all()
     assert np.isfinite(np.asarray(video)).all()
 
+
+
+def test_i2v_teacache_sampler():
+    pipe = I2VPipeline.from_config(
+        TINY, jax.random.PRNGKey(0), init_t5=True, init_clip=True,
+        latent_shape=(3, 4, 4), dtype=jnp.float32,
+    )
+    ids = jnp.zeros((1, 16), jnp.int32)
+    ctx = pipe.encode_text(ids, jnp.ones_like(ids))
+    img = jnp.zeros((1, 1, 32, 32, 3))
+    latents, video = pipe.generate(img, ctx, ctx, frame_num=5, steps=4,
+                                   sampler="teacache")
+    assert np.isfinite(np.asarray(video)).all()

@@ -82,3 +82,17 @@ def test_int8_segment_matches_bf16():
         pipe.generate_t2v(ctx, size=(32, 32), frame_num=5, steps=2)
     with pytest.raises(NotImplementedError):
         pipe.generate_segment(hist, ctx, steps=2, sampler="sde")
+
+
+def test_t2v_multistep_solvers():
+    """Stock Wan2.1-style t2v loop: UniPC / DPM++ with CFG."""
+    pipe = _pipe()
+    ids = jnp.zeros((1, 16), jnp.int32)
+    ctx = pipe.encode_text(ids, jnp.ones_like(ids))
+    ctx_null = pipe.encode_text(ids + 1, jnp.ones_like(ids))
+    for solver in ("unipc", "dpmpp"):
+        video = pipe.generate_t2v(ctx, size=(32, 32), frame_num=5, steps=2,
+                                  solver=solver, ctx_null=ctx_null,
+                                  guide_scale=3.0)
+        assert video.shape == (1, 5, 32, 32, 3)
+        assert np.isfinite(np.asarray(video)).all()

@@ -161,6 +161,54 @@ def cfg_euler_sample_segment(
     return latent
 
 
+def cfg_euler_sample_segment_cached(
+    denoise_full,
+    denoise_cached,
+    latent: jax.Array,
+    noise: jax.Array,
+    ctx: jax.Array,
+    ctx_null: jax.Array,
+    sigmas: np.ndarray,
+    latent_frame_zero: int,
+    guide_scale: float,
+    *,
+    cache_interval: int = 2,
+) -> jax.Array:
+    """14B CFG Euler with TeaCache block-residual reuse: every
+    ``cache_interval``-th step runs the full DiT (storing residuals
+    separately for the cond and uncond passes, like the reference's two
+    `cache`/`cache_uncond` lists fed back through `cache_sample`,
+    wan/modules/model.py:977-998 + fastvideo/sample/sample.py cache wiring);
+    in-between steps skip the cached blocks. Unrolled (small step count).
+
+    ``denoise_full(latent, t, ctx) -> (v, cache)``;
+    ``denoise_cached(latent, t, ctx, cache) -> v``.
+    """
+    b, f = latent.shape[:2]
+    f_hist = f - latent_frame_zero
+    clean_history = latent[:, :f_hist]
+    sig = np.asarray(sigmas, np.float32)
+    s0 = float(sig[0])
+    hist0 = s0 * noise[:, :f_hist] + (1.0 - s0) * clean_history
+    latent = jnp.concatenate([hist0, noise[:, f_hist:]], axis=1)
+
+    cache_c = cache_u = None
+    for i in range(len(sig) - 1):
+        s_i, s_n = float(sig[i]), float(sig[i + 1])
+        t_frame = jnp.full((b, f), s_i * 1000.0)
+        if cache_c is None or i % cache_interval == 0:
+            v_c, cache_c = denoise_full(latent, t_frame, ctx)
+            v_u, cache_u = denoise_full(latent, t_frame, ctx_null)
+        else:
+            v_c = denoise_cached(latent, t_frame, ctx, cache_c)
+            v_u = denoise_cached(latent, t_frame, ctx_null, cache_u)
+        v = v_u + guide_scale * (v_c - v_u)
+        tail = latent[:, -latent_frame_zero:] + (s_n - s_i) * v[:, -latent_frame_zero:]
+        hist = s_n * noise[:, :f_hist] + (1.0 - s_n) * clean_history
+        latent = jnp.concatenate([hist, tail], axis=1)
+    return latent
+
+
 def cfg_sde_euler_sample_segment(
     denoise_fn: Callable[[jax.Array, jax.Array, jax.Array], jax.Array],
     latent: jax.Array,

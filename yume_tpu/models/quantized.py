@@ -88,6 +88,9 @@ def _dequantize_leaf(leaf, dtype=jnp.bfloat16):
 def quantize_dit_blocks(params: Any, num_layers: int, bits: int = 8):
     """Split WanDiT params into (other_bf16, stacked int8 blocks).
 
+    ``bits``: 8 (per-channel int8), 4 (group-128 nibble-packed int4), or
+    16 (no quantization — scan-over-layers param stacking only).
+
     ``other`` keeps the non-block params (embeddings, time/text, head) in
     their original dtype; the per-layer block subtrees are stacked on a new
     leading axis and kernel leaves are int8-quantized.
@@ -95,7 +98,9 @@ def quantize_dit_blocks(params: Any, num_layers: int, bits: int = 8):
     tree = params["params"] if "params" in params else params
     blocks = [tree[f"blocks_{i}"] for i in range(num_layers)]
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
-    qfn = {8: _quantize_leaf, 4: _quantize_leaf4}[bits]
+    # bits=16: stack-only (no quantization) — the scan-over-layers trunk
+    # compiles once per block shape instead of once per layer
+    qfn = {16: lambda w: w, 8: _quantize_leaf, 4: _quantize_leaf4}[bits]
     stacked_q = jax.tree_util.tree_map(qfn, stacked)
     other = {k: v for k, v in tree.items() if not k.startswith("blocks_")}
     return {"params": other}, stacked_q

@@ -119,6 +119,35 @@ class TI2VPipeline:
 
         return samplers.euler_sample(denoise, noise, sig)
 
+    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8))
+    def _sample_t2v_multistep(self, params, noise, ctx, ctx_null, steps,
+                              shift, solver, guide_scale):
+        """Stock multistep t2v loop (reference WanT2V.generate,
+        wan/text2video.py:110-267: UniPC or DPM++ with CFG)."""
+        from ..diffusion import multistep
+
+        sig = sampling_sigmas(steps, shift)
+        b, f = noise.shape[:2]
+
+        def model(x, sigma):
+            t_frame = jnp.broadcast_to(sigma[:, None] * 1000.0, (b, f))
+
+            def fwd(c):
+                return self.dit.apply(
+                    params, x.astype(jnp.bfloat16), t_frame, c,
+                    packed=False, attn_impl=self.attn_impl,
+                ).astype(x.dtype)
+
+            v = fwd(ctx)
+            if ctx_null is not None:
+                v_u = fwd(ctx_null)
+                v = v_u + guide_scale * (v - v_u)
+            return v
+
+        fn = {"unipc": multistep.sample_unipc,
+              "dpmpp": multistep.sample_dpmpp_2m}[solver]
+        return fn(model, noise, sig)
+
     @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
     def _sample_segment(self, params, latent, ctx, history_t, steps, shift, lfz):
         sig = sampling_sigmas(steps, shift)
@@ -307,10 +336,15 @@ class TI2VPipeline:
         steps: int = 50,
         shift: Optional[float] = None,
         seed: int = 0,
+        solver: str = "euler",
+        ctx_null: Optional[jax.Array] = None,
+        guide_scale: float = 5.0,
     ) -> jax.Array:
-        """Text-to-video, single segment (reference t2v path:
-        sample_5b.py --T2V, flag=False unpacked, no CFG). Returns video
-        [B, frame_num, H, W, 3] in [-1, 1]."""
+        """Text-to-video, single segment. ``solver='euler'`` is the 5B t2v
+        path (reference sample_5b.py --T2V, flag=False unpacked, no CFG);
+        'unipc'/'dpmpp' with ``ctx_null`` is the stock Wan2.1 T2V loop
+        (reference wan/text2video.py:110-267: multistep solver + CFG).
+        Returns video [B, frame_num, H, W, 3] in [-1, 1]."""
         cfgv = self.config.vae
         shift = self.config.sample_shift if shift is None else shift
         f_lat = (frame_num - 1) // cfgv.stride[0] + 1
@@ -324,7 +358,13 @@ class TI2VPipeline:
             raise NotImplementedError(
                 "int8 trunk supports packed segments only; run the unpacked "
                 "t2v first segment before quantize_int8()")
-        latent = self._sample_t2v(self.dit_params, noise, ctx, None, steps, shift)
+        if solver == "euler":
+            latent = self._sample_t2v(self.dit_params, noise, ctx, None,
+                                      steps, shift)
+        else:
+            latent = self._sample_t2v_multistep(
+                self.dit_params, noise, ctx, ctx_null, steps, shift, solver,
+                guide_scale)
         return self.decode_auto(latent)
 
     def generate_segment(

@@ -176,7 +176,8 @@ def main(argv=None):
         latents, video = pipe.generate(
             jnp.asarray(img)[None, None], ctx, ctx_null, frame_num=frame_num,
             steps=steps, shift=args.shift, guide_scale=args.guide_scale,
-            seed=args.seed)
+            seed=args.seed,
+            sampler="teacache" if args.teacache else "euler")
         save_video(np.asarray(video[0]),
                    os.path.join(args.output_dir, "segment_000.mp4"),
                    fps=cfg.sample_fps)
