@@ -85,6 +85,8 @@ def load_models(args):
     from ..sample import load_pipeline
 
     cfg, pipe = load_pipeline(args)
+    if getattr(args, "quant", "none") != "none":
+        STATE["quant_bits"] = {"int8": 8, "int4": 4}[args.quant]
     STATE["pipe"] = pipe
     STATE["cfg"] = cfg
     STATE["tokenizer"] = Tokenizer(args.tokenizer, seq_len=cfg.t5.text_len,
@@ -114,6 +116,12 @@ def _generate(req, args):
     STATE["progress"] = f"mode={mode} prompt={prompt[:60]}"
     t0 = time.time()
 
+    if (mode in ("continue_from_last", "i2v")
+            and STATE.get("quant_bits")
+            and not isinstance(pipe.dit_params, tuple)):
+        # packed-segment modes run on the quantized trunk; t2v keeps bf16
+        # until the user stops requesting it (generate_t2v raises otherwise)
+        pipe.quantize_int8(bits=STATE["quant_bits"])
     if mode == "continue_from_last" and STATE["last"] is not None:
         latents = pipe.generate_segment(STATE["last"], ctx, steps=steps, seed=seed)
         tail = latents[:, -cfg.latent_frame_zero:]
@@ -241,6 +249,11 @@ def build_argparser():
     p.add_argument("--height", type=int, default=704)
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--preload", action="store_true")
+    p.add_argument("--quant", default="none", choices=["none", "int8", "int4"],
+                   help="quantize the DiT trunk after the first t2v segment "
+                        "(continuation segments only; halves/quarters weight "
+                        "HBM like the reference webapp's memory_optimization, "
+                        "webapp_single_gpu.py:819-852)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
