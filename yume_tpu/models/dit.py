@@ -710,7 +710,12 @@ class WanDiT(nn.Module):
             return tokens, mod, None, cos, sin
         assert self.cfg.mvdt and mvdt_keep is not None
         b, l, d = tokens.shape
-        noise = jax.random.uniform(mvdt_rng, (b, l))
+        # mvdt_rng: PRNGKey, or a precomputed [B, L] noise array (tests use
+        # this to pin per-sample shuffles across batch compositions)
+        if getattr(mvdt_rng, "ndim", 0) == 2:
+            noise = mvdt_rng
+        else:
+            noise = jax.random.uniform(mvdt_rng, (b, l))
         ids_shuffle = jnp.argsort(noise, axis=1)
         ids_restore = jnp.argsort(ids_shuffle, axis=1).astype(jnp.int32)
         ids_keep = ids_shuffle[:, :mvdt_keep].astype(jnp.int32)
@@ -718,10 +723,16 @@ class WanDiT(nn.Module):
         mask = jnp.ones((b, l), jnp.float32)
         mask = mask.at[:, :mvdt_keep].set(0.0)
         mask = jnp.take_along_axis(mask, ids_restore, axis=1)
-        # rope tables gathered at kept positions (equivalent to the
-        # reference's unshuffle→rope→regather dance, see module docstring)
-        cos_k = cos[ids_keep[0]] if cos.ndim == 2 else cos
-        sin_k = sin[ids_keep[0]]
+        # rope tables gathered at each sample's kept positions — [B, keep,
+        # D/2], consumed batched by apply_rope (equivalent to the reference's
+        # unshuffle→rope→regather dance; the keep-shuffle is drawn per sample
+        # so the tables must be too)
+        if cos.ndim == 2:
+            cos_k = jnp.take(cos, ids_keep, axis=0)
+            sin_k = jnp.take(sin, ids_keep, axis=0)
+        else:
+            cos_k = jnp.take_along_axis(cos, ids_keep[:, :, None], axis=1)
+            sin_k = jnp.take_along_axis(sin, ids_keep[:, :, None], axis=1)
         mvdt = dict(
             ids_restore=ids_restore,
             ids_keep=ids_keep,
