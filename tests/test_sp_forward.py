@@ -37,3 +37,25 @@ def test_sp_forward_matches_dense(kind):
                        kind=kind)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("kind", ["ulysses", "ring"])
+def test_sp_attention_masks_padding(kind):
+    """Zero-pad keys (L not divisible by sp) must not be attended — the
+    sharded attention with kv_len must equal dense attention over the true
+    length (regression: the non-flash Ulysses fallback used to drop kv_len)."""
+    from yume_tpu.ops.attention import xla_attention
+    from yume_tpu.parallel.ulysses import sp_shard_map_attention
+
+    mesh = make_mesh(data=1, fsdp=1, sp=8)
+    b, l_true, n, d = 2, 21, 8, 16
+    l_pad = 24
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(rng, (b, l_pad, n, d))
+    # pads are *not* zero — the mask alone must exclude them
+    kv_len = jnp.full((b,), l_true, jnp.int32)
+
+    got = sp_shard_map_attention(mesh, kind, impl="xla", kv_len=kv_len)(q, q, q)
+    want = xla_attention(q[:, :l_true], q[:, :l_true], q[:, :l_true])
+    np.testing.assert_allclose(np.asarray(got[:, :l_true]), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)

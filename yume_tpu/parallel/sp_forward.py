@@ -64,7 +64,7 @@ def sp_dit_apply(
 
     if kind == "ulysses":
         sp_attn = functools.partial(
-            ulysses_attention, axis_name="sp",
+            ulysses_attention, axis_name="sp", kv_len=kv_len,
             attn_fn=functools.partial(flash_attention, kv_len=kv_len)
             if jax.default_backend() == "tpu" else None,
         )

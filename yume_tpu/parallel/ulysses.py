@@ -35,16 +35,22 @@ def ulysses_attention(
     axis_name: str,
     attn_fn: Optional[Callable] = None,
     impl: Optional[str] = None,
+    kv_len: Optional[jax.Array] = None,
 ) -> jax.Array:
     """All-to-all attention: in = [B, L/sp, N, D] (sequence-sharded),
     swap to [B, L, N/sp, D] (head-sharded), full-sequence attention,
     swap back (reference ulysses.py:9-47 / communications.py:20-103).
 
     Must run inside shard_map with ``axis_name`` bound.
+
+    kv_len: optional [B] global valid kv length — masks the zero-pad keys
+    added when L was rounded up to a multiple of sp (sp_forward._pad_to);
+    applies to the default dense fallback (a custom ``attn_fn`` must handle
+    its own masking).
     """
     sp = jax.lax.psum(1, axis_name)
     if attn_fn is None:
-        attn_fn = functools.partial(attention, impl=impl)
+        attn_fn = functools.partial(attention, impl=impl, kv_len=kv_len)
 
     def scatter_heads(x):
         # [B, Ls, N, D] -> [B, sp*Ls, N/sp, D]
@@ -143,7 +149,8 @@ def sp_shard_map_attention(
     from jax.experimental.shard_map import shard_map
 
     fn = {
-        "ulysses": functools.partial(ulysses_attention, axis_name="sp", impl=impl),
+        "ulysses": functools.partial(ulysses_attention, axis_name="sp",
+                                     impl=impl, kv_len=kv_len),
         "ring": functools.partial(ring_attention, axis_name="sp", kv_len=kv_len),
     }[kind]
 
