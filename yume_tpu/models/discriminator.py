@@ -234,8 +234,12 @@ class ProjectedDiscriminator(nn.Module):
         y = y.transpose(0, 1, 4, 2, 5, 3)  # b, h, r, w, r, 3
         y = y.reshape(b, h * r, w * r, 3)
 
+        # The DINO projector is frozen in the *parameter* sense (reference
+        # requires_grad=False, discriminator.py:150): its params get no
+        # optimizer updates (optax.masked in the driver), but gradients DO
+        # flow through its activations — that's how the generator receives
+        # the GAN signal. Do not stop_gradient here.
         feats = DinoViT(name="dino")(dino_preprocess(y))
-        feats = [jax.lax.stop_gradient(f) for f in feats]  # frozen DINO
 
         logits, logits_f = [], []
         for i, f in enumerate(feats):

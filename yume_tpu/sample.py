@@ -97,15 +97,17 @@ def load_pipeline(args):
     return cfg, pipe
 
 
-def load_torch_weights(pipe, ckpt_dir: str):
+def load_torch_weights(pipe, ckpt_dir: str, *, load_dit: bool = True):
     """Load released torch checkpoints (safetensors DiT + .pth VAE/T5)."""
     from .utils.checkpoint import (convert_dit_state_dict,
                                    convert_t5_state_dict,
                                    convert_vae22_state_dict,
                                    load_safetensors_state_dict)
 
-    dit_sd = load_safetensors_state_dict(ckpt_dir)
-    pipe.dit_params = convert_dit_state_dict(dit_sd, pipe.config.dit.num_layers)
+    if load_dit:
+        dit_sd = load_safetensors_state_dict(ckpt_dir)
+        pipe.dit_params = convert_dit_state_dict(dit_sd,
+                                                 pipe.config.dit.num_layers)
     import torch
 
     vae_path = os.path.join(ckpt_dir, "Wan2.2_VAE.pth")

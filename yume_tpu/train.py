@@ -27,6 +27,11 @@ def build_argparser():
     p.add_argument("--data_dir", default=None)
     p.add_argument("--full_mp4_dir", default=None)
     p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--encoders_dir", default=None,
+                   help="dir with VAE/T5 .pth weights for the encode path "
+                        "(defaults to --ckpt_dir)")
+    p.add_argument("--tokenizer_path", default=None,
+                   help="local HF/sentencepiece tokenizer dir (umt5-xxl)")
     p.add_argument("--output_dir", default="./checkpoints")
     p.add_argument("--max_train_steps", type=int, default=100)
     p.add_argument("--learning_rate", type=float, default=1e-5)
@@ -37,6 +42,9 @@ def build_argparser():
     p.add_argument("--validation_steps", type=int, default=0)
     p.add_argument("--MVDT", action="store_true")
     p.add_argument("--Distil", action="store_true")
+    p.add_argument("--dino_path", default=None,
+                   help="DINO ViT-S/16 weights (dino_deitsmall16_pretrain.pth)"
+                        " for the frozen discriminator projector")
     p.add_argument("--num_frames", type=int, default=33)
     p.add_argument("--height", type=int, default=352)
     p.add_argument("--width", type=int, default=640)
@@ -71,12 +79,26 @@ def main(argv=None):
     dit_cfg = cfg.dit
     lfz = cfg.latent_frame_zero
     if args.smoke:
+        from .configs import PipelineConfig, T5Config, VAEConfig
+
         dit_cfg = DiTConfig(model_type="ti2v", in_dim=8, out_dim=8, dim=64,
                             ffn_dim=128, freq_dim=32, text_dim=16, text_len=16,
                             num_heads=4, num_layers=2, framepack=True,
                             mvdt=args.MVDT)
+        # a full tiny pipeline config so the --data_dir encode path (VAE/T5)
+        # runs at smoke scale too
+        cfg = PipelineConfig(
+            name="smoke", dit=dit_cfg,
+            vae=VAEConfig(z_dim=8, base_dim=8, dim_mult=(1, 2, 2),
+                          num_res_blocks=1, temporal_downsample=(True, False),
+                          stride=(2, 8, 8), patchify=2),
+            t5=T5Config(vocab_size=256, dim=16, dim_attn=16, dim_ffn=24,
+                        num_heads=2, num_layers=1, text_len=16),
+            latent_frame_zero=2)
         lfz = 2
         args.max_train_steps = min(args.max_train_steps, 5)
+        if args.data_dir:
+            args.num_frames, args.height, args.width = 9, 64, 64
     elif args.MVDT:
         dit_cfg = dataclasses.replace(dit_cfg, mvdt=True)
 
@@ -127,28 +149,48 @@ def main(argv=None):
     import random as _random
 
     _mvdt_rng = _random.Random(args.seed)
-    if args.MVDT:
-        step_fns = {k: jax.jit(make_train_step(dit.apply, tc, packed=True,
-                                               mvdt_keep=k))
-                    for k in set(mvdt_keeps)}
 
-        def step_fn(state, batch, rng):
-            return step_fns[_mvdt_rng.choice(mvdt_keeps)](state, batch, rng)
-    else:
-        step_fn = jax.jit(make_train_step(dit.apply, tc, packed=True))
-
-    # optional ADD discriminator (reference distill_model.py:532-579)
-    disc = disc_state = disc_step = None
+    # optional ADD discriminator (reference distill_model.py:532-579); the
+    # distillation step folds the D update and the 0.01 generator GAN term
+    # into the generator step (one retained vjp, distill_model.py:306-366)
+    disc = disc_state = None
     if args.Distil:
         import optax
 
-        from .training.distill import init_disc_state, make_disc_step
+        from .training.distill import init_disc_state, make_distill_train_step
 
-        d_opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-5))
+        def _not_dino(params):
+            # the DINO projector is frozen (reference requires_grad=False,
+            # ADD/models/discriminator.py:150): exclude it from the optimizer
+            # so AdamW weight decay can't mutate it
+            import flax
+
+            return flax.traverse_util.path_aware_map(
+                lambda path, _: path[0] != "dino", params)
+
+        d_opt = optax.masked(
+            optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-5)),
+            _not_dino)
         disc, disc_state = init_disc_state(
             jax.random.PRNGKey(args.seed + 1), d_opt, latent_hw=(h, w),
-            z_dim=dit_cfg.out_dim)
-        disc_step = jax.jit(make_disc_step(disc, d_opt))
+            z_dim=dit_cfg.out_dim,
+            dino_path=args.dino_path)
+
+        def _mk(keep):
+            return jax.jit(make_distill_train_step(
+                dit.apply, tc, disc, d_opt, packed=True, mvdt_keep=keep))
+    else:
+        def _mk(keep):
+            return jax.jit(make_train_step(dit.apply, tc, packed=True,
+                                           mvdt_keep=keep))
+
+    if args.MVDT:
+        step_fns = {k: _mk(k) for k in set(mvdt_keeps)}
+
+        def step_fn(*a):
+            return step_fns[_mvdt_rng.choice(mvdt_keeps)](*a)
+    else:
+        step_fn = _mk(None)
 
     # data: real dataset or synthetic latents
     def synthetic_batch(step):
@@ -159,31 +201,52 @@ def main(argv=None):
         }
 
     get_batch = synthetic_batch
+    loader = None
+    pipe = None
     if args.data_dir:
         from .data.dataset import ControlVideoDataset
+        from .data.loader import PrefetchLoader
+        from .data.tokenizer import Tokenizer
+        from .pipelines.ti2v import TI2VPipeline
 
         ds = ControlVideoDataset(
             args.data_dir, full_mp4_dir=args.full_mp4_dir,
             n_sample_frames=args.num_frames, height=args.height,
             width=args.width)
         main_print(f"dataset: {len(ds)} clips")
-        # NOTE: latents must be produced by the VAE; wire the encode step via
-        # pipelines. For the training driver we encode on the fly.
-        from .pipelines.ti2v import TI2VPipeline
+        # encode fns need REAL VAE/T5 weights (reference init_model,
+        # distill_model.py:720-737); load them from the checkpoint dir (or
+        # explicit paths) — a random encoder would feed garbage latents
+        pipe = TI2VPipeline.from_config(cfg, jax.random.PRNGKey(0),
+                                        init_t5=True)
+        weights_dir = args.encoders_dir or args.ckpt_dir
+        if weights_dir:
+            from .sample import load_torch_weights
 
-        pipe = TI2VPipeline.from_config(cfg, jax.random.PRNGKey(0))
+            load_torch_weights(pipe, weights_dir, load_dit=False)
+        else:
+            main_print("WARNING: --data_dir without --ckpt_dir/--encoders_dir"
+                       " — VAE/T5 encoders are randomly initialised")
+        tokenizer = Tokenizer(args.tokenizer_path, seq_len=text_len,
+                              vocab_size=cfg.t5.vocab_size)
+
+        # threaded host prefetch (≙ reference DataLoader workers,
+        # distill_model.py:633-654): video decode overlaps the train step
+        def sample_fn(i):
+            s = ds[i % len(ds)]
+            return {"video": s["video"], "caption": s["caption"]}
+
+        loader = PrefetchLoader(sample_fn, batch_size=b, num_workers=2)
 
         def get_batch(step):
-            samples = [ds[step * b + i] for i in range(b)]
-            video = jnp.asarray(np.stack([s["video"] for s in samples]))
+            raw = next(loader)
+            video = jnp.asarray(np.stack(raw["video"])
+                                if isinstance(raw["video"], list)
+                                else raw["video"])
             latents = pipe._encode(video)
-            ids, mask = tokenizer([s["caption"] for s in samples])
+            ids, mask = tokenizer(raw["caption"])
             ctx = pipe.encode_text(jnp.asarray(ids), jnp.asarray(mask))
             return {"latents": latents, "context": ctx}
-
-        from .data.tokenizer import Tokenizer
-
-        tokenizer = Tokenizer(seq_len=text_len, vocab_size=cfg.t5.vocab_size)
 
     start_step = 0
     if args.resume and os.path.isdir(args.output_dir):
@@ -198,16 +261,17 @@ def main(argv=None):
     for step in range(start_step, args.max_train_steps):
         t_start = time.time()
         batch = get_batch(step)
-        state, metrics = step_fn(state, batch, jax.random.fold_in(rng, step))
-        loss = float(metrics["loss"])
+        step_rng = jax.random.fold_in(rng, step)
         if args.Distil:
-            # one-step denoised tail vs real tail (reference :320-331)
-            real = batch["latents"][0, -lfz:]
-            fake = real + 0.1 * jax.random.normal(jax.random.fold_in(rng, step + 1_000_000),
-                                                  real.shape)
-            disc_state, d_loss = disc_step(disc_state, real, fake)
-            loss_str = f"loss={loss:.4f} d_loss={float(d_loss):.4f}"
+            state, disc_state, metrics = step_fn(state, disc_state, batch,
+                                                 step_rng)
+            loss = float(metrics["loss"])
+            loss_str = (f"loss={loss:.4f} "
+                        f"gan_loss={float(metrics['gan_loss']):.4f} "
+                        f"d_loss={float(metrics['d_loss']):.4f}")
         else:
+            state, metrics = step_fn(state, batch, step_rng)
+            loss = float(metrics["loss"])
             loss_str = f"loss={loss:.4f}"
         times.append(time.time() - t_start)
         main_print(f"step {step + 1}/{args.max_train_steps} {loss_str} "
@@ -219,14 +283,17 @@ def main(argv=None):
             main_print(f"checkpoint saved at step {step + 1}")
 
         if args.validation_steps and (step + 1) % args.validation_steps == 0:
-            _validation_rollout(args, dit, state, batch, lfz, step + 1)
+            _validation_rollout(args, dit, state, batch, lfz, step + 1,
+                                pipe=pipe)
 
+    if loader is not None:
+        loader.close()
     return 0
 
 
-def _validation_rollout(args, dit, state, batch, lfz, step):
+def _validation_rollout(args, dit, state, batch, lfz, step, pipe=None):
     """In-training validation: denoise a segment from the current EMA params
-    and export the latents (decoded when a VAE is wired) — reference
+    and export generated-vs-ground-truth videos — reference
     distill_model.py:368-425 (50-step rollout to ./generated_test_video)."""
     import jax
     import jax.numpy as jnp
@@ -255,10 +322,23 @@ def _validation_rollout(args, dit, state, batch, lfz, step):
         history_t=jnp.zeros((b, f - lfz)))
     out_dir = os.path.join(args.output_dir, "generated_test_video")
     os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, f"val_latents_step{step}.npy")
-    np.save(path, np.asarray(rolled))
     mse = float(jnp.mean((rolled[:, -lfz:] - latents[:, -lfz:]) ** 2))
-    main_print(f"validation @ step {step}: tail-latent MSE {mse:.4f} → {path}")
+    if pipe is not None:
+        # decode generated and ground-truth clips to mp4 (reference writes
+        # `{step}_{rank}.mp4` / `..._test.mp4`, distill_model.py:400-425)
+        from .utils.video import save_video, to_uint8
+
+        for name, z in (("gen", rolled), ("gt", latents)):
+            video = np.asarray(pipe.decode_auto(z[:1]).astype(jnp.float32))[0]
+            path = os.path.join(out_dir, f"val_step{step}_{name}.mp4")
+            save_video(to_uint8(video), path, fps=args.sample_fps
+                       if hasattr(args, "sample_fps") else 16)
+        main_print(f"validation @ step {step}: tail-latent MSE {mse:.4f} → "
+                   f"{out_dir}/val_step{step}_gen.mp4")
+    else:
+        path = os.path.join(out_dir, f"val_latents_step{step}.npy")
+        np.save(path, np.asarray(rolled))
+        main_print(f"validation @ step {step}: tail-latent MSE {mse:.4f} → {path}")
 
 
 if __name__ == "__main__":

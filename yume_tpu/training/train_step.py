@@ -82,26 +82,25 @@ def init_train_state(params, cfg: TrainConfig) -> TrainState:
     )
 
 
-def make_train_step(
+def make_loss_fn(
     dit_apply: Callable,
     cfg: TrainConfig,
     *,
     packed: bool = True,
     mvdt_keep: Optional[int] = None,
 ) -> Callable:
-    """Build the jittable train step.
-
-    dit_apply(params, x, t_frame, context, **kw) -> velocity (tail frames
-    when packed).
-
-    Batch dict: ``latents`` [B, F, H, W, C] clean latents (history+tail),
-    ``context`` [B, text_len, text_dim].
-    """
+    """Loss over one batch: ``loss_fn(params, batch, rng) -> (loss,
+    denoised_tail)``. Shared between the plain train step and the ADD
+    distillation step (training/distill.py), which needs the denoised tail
+    and a vjp through it."""
     transport = Transport(shift=cfg.shift)
-    optimizer = make_optimizer(cfg)
     lfz = cfg.latent_frame_zero
 
-    def loss_fn(params, batch, rng):
+    def flow_pass(params, batch, rng, *, masked: bool):
+        """One Transport flow-matching pass. Returns (loss, denoised_tail):
+        the one-step x0 estimate x̂₁ = x_t − t·v̂ on the tail frames
+        (reference distill_model.py:321 `model_denoing = xt - t*model_output`;
+        consumed by the ADD GAN branch)."""
         x1 = batch["latents"]
         ctx = batch["context"]
         b, f = x1.shape[:2]
@@ -127,19 +126,54 @@ def make_train_step(
         ) * 1000.0
 
         kw = {}
-        if cfg.mvdt and mvdt_keep is not None:
+        if masked:
             kw = dict(mvdt_rng=mv_rng, mvdt_keep=mvdt_keep)
         v = dit_apply(params, xt, t_frame, ctx, packed=packed,
                       latent_frame_zero=lfz, **kw)
-        v_tail = v[:, -lfz:]
-        ut_tail = ut[:, -lfz:]
-        loss = jnp.mean(
-            (v_tail.astype(jnp.float32) - ut_tail.astype(jnp.float32)) ** 2
+        v_tail = v[:, -lfz:].astype(jnp.float32)
+        ut_tail = ut[:, -lfz:].astype(jnp.float32)
+        loss = jnp.mean((v_tail - ut_tail) ** 2)
+        denoised_tail = (
+            xt[:, -lfz:].astype(jnp.float32) - t[:, None, None, None, None] * v_tail
         )
-        return loss
+        return loss, denoised_tail
+
+    def loss_fn(params, batch, rng):
+        """Flow loss (+ the MVDT masked pass as a *separate* forward whose
+        loss adds to the total ≙ the reference's two sequential backwards,
+        distill_model.py:289-318). Returns the unmasked pass's denoised tail
+        as aux."""
+        flow_rng, mask_rng = jax.random.split(rng)
+        loss, denoised_tail = flow_pass(params, batch, flow_rng, masked=False)
+        if cfg.mvdt and mvdt_keep is not None:
+            mask_loss, _ = flow_pass(params, batch, mask_rng, masked=True)
+            loss = loss + mask_loss
+        return loss, denoised_tail
+
+    return loss_fn
+
+
+def make_train_step(
+    dit_apply: Callable,
+    cfg: TrainConfig,
+    *,
+    packed: bool = True,
+    mvdt_keep: Optional[int] = None,
+) -> Callable:
+    """Build the jittable train step.
+
+    dit_apply(params, x, t_frame, context, **kw) -> velocity (tail frames
+    when packed).
+
+    Batch dict: ``latents`` [B, F, H, W, C] clean latents (history+tail),
+    ``context`` [B, text_len, text_dim].
+    """
+    optimizer = make_optimizer(cfg)
+    loss_fn = make_loss_fn(dit_apply, cfg, packed=packed, mvdt_keep=mvdt_keep)
 
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, dict]:
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         d = cfg.ema_decay

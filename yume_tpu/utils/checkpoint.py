@@ -369,6 +369,48 @@ def convert_xlm_roberta_state_dict(sd: Mapping[str, Any], num_layers: int) -> Di
     return {"params": params}
 
 
+def convert_dino_state_dict(sd: Mapping[str, Any], depth: int = 12) -> Dict:
+    """Map DINO ViT-S/16 pretrained weights (`dino_deitsmall16_pretrain.pth`,
+    the checkpoint the reference discriminator's frozen projector loads at
+    ADD/models/discriminator.py:145 via timm vit naming) onto
+    yume_tpu.models.discriminator.DinoViT params. The final `norm`/`head`
+    entries are unused — hook outputs are raw block activations
+    (ADD/models/vit_utils.py:48-63)."""
+    params: Dict = {}
+    set_in(params, "cls_token", _t(sd["cls_token"]))
+    set_in(params, "pos_embed", _t(sd["pos_embed"]))
+    set_in(params, "patch_embed/kernel",
+           _t(sd["patch_embed.proj.weight"]).transpose(2, 3, 1, 0))
+    set_in(params, "patch_embed/bias", _t(sd["patch_embed.proj.bias"]))
+    for i in range(depth):
+        src, dst = f"blocks.{i}", f"blocks_{i}"
+        for n in ("norm1", "norm2"):
+            set_in(params, f"{dst}/{n}/scale", _t(sd[f"{src}.{n}.weight"]))
+            set_in(params, f"{dst}/{n}/bias", _t(sd[f"{src}.{n}.bias"]))
+        set_in(params, f"{dst}/qkv/kernel", dense_kernel(sd[f"{src}.attn.qkv.weight"]))
+        set_in(params, f"{dst}/qkv/bias", _t(sd[f"{src}.attn.qkv.bias"]))
+        set_in(params, f"{dst}/proj/kernel", dense_kernel(sd[f"{src}.attn.proj.weight"]))
+        set_in(params, f"{dst}/proj/bias", _t(sd[f"{src}.attn.proj.bias"]))
+        set_in(params, f"{dst}/mlp_0/kernel", dense_kernel(sd[f"{src}.mlp.fc1.weight"]))
+        set_in(params, f"{dst}/mlp_0/bias", _t(sd[f"{src}.mlp.fc1.bias"]))
+        set_in(params, f"{dst}/mlp_2/kernel", dense_kernel(sd[f"{src}.mlp.fc2.weight"]))
+        set_in(params, f"{dst}/mlp_2/bias", _t(sd[f"{src}.mlp.fc2.bias"]))
+    return params
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch .pth/.pt state dict into flat numpy (CPU, weights_only)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]
+    return {k: v.float().numpy() for k, v in sd.items()
+            if hasattr(v, "numpy")}
+
+
 def load_safetensors_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load a (possibly sharded-with-index) safetensors checkpoint directory
     or file into a flat numpy state dict (equivalent of
