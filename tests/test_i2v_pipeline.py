@@ -96,3 +96,28 @@ def test_i2v_teacache_sampler():
     latents, video = pipe.generate(img, ctx, ctx, frame_num=5, steps=4,
                                    sampler="teacache")
     assert np.isfinite(np.asarray(video)).all()
+
+
+def test_i2v_tts_samplers():
+    """The 14B TTS path ('sde' / 'time_travel' / combined 'tts') must run and
+    produce finite latents distinct from the plain Euler path."""
+    pipe = I2VPipeline.from_config(
+        TINY, jax.random.PRNGKey(0), init_t5=True, init_clip=True,
+        latent_shape=(3, 4, 4), dtype=jnp.float32,
+    )
+    ids = jnp.zeros((1, 16), jnp.int32)
+    ctx = pipe.encode_text(ids, jnp.ones_like(ids))
+    ctx_null = pipe.encode_text(ids, jnp.ones_like(ids))
+    img = jnp.zeros((1, 1, 32, 32, 3))
+    base, _ = pipe.generate(img, ctx, ctx_null, frame_num=5, steps=3,
+                            guide_scale=5.0, sampler="euler")
+    outs = {}
+    for sampler in ("sde", "time_travel", "tts"):
+        latents, video = pipe.generate(img, ctx, ctx_null, frame_num=5,
+                                       steps=3, guide_scale=5.0,
+                                       sampler=sampler)
+        assert np.isfinite(np.asarray(latents)).all(), sampler
+        assert np.isfinite(np.asarray(video)).all(), sampler
+        outs[sampler] = np.asarray(latents)
+    for sampler, lat in outs.items():
+        assert not np.allclose(lat, np.asarray(base)), sampler

@@ -123,7 +123,9 @@ class PipelineConfig:
     # number of trailing latent frames denoised per autoregressive segment
     # (reference fastvideo/sample/sample.py:769-790: 9 for 14B; sample_5b.py: 8)
     latent_frame_zero: int = 8
-    sample_fps: int = 24
+    # segments export at 16 fps (reference fastvideo/sample/sample.py:862,
+    # sample_5b.py:1080: 2 s = 32 frames @ 16 fps)
+    sample_fps: int = 16
     sample_shift: float = 5.0
     sample_steps: int = 50
     sample_guide_scale: float = 5.0

@@ -308,13 +308,19 @@ def time_travel_sample_segment(
     latent_frame_zero: int,
     *,
     interval: int = 2,
-    travel_steps: int = 1,
+    travel_steps: int = 2,
     history_t: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Time-travel (lookahead) sampling (TTS; reference
-    fastvideo/sample/sample_tts.py:690-854): every ``interval`` steps, roll
-    the ODE forward ``travel_steps`` extra steps, then reuse the lookahead
-    velocity for the current step — a cheap second-order correction.
+    """Time-travel (lookahead) sampling, frozen-history form (the reference
+    loop of fastvideo/sample/sample_tts.py:690-854 adapted to the 5B
+    per-frame-t/no-renoise segment convention; for the exact 14B form see
+    :func:`cfg_time_travel_sample_segment`).
+
+    Every ``interval`` steps: take a provisional Euler step, roll the ODE
+    forward to step i+``travel_steps``−1, then REDO step i from the original
+    state using the last lookahead velocity (the reference's splice-back —
+    the lookahead velocity *replaces* the provisional one, sample_tts.py:
+    836-841).
     """
     b, f = latent.shape[:2]
     f_hist = f - latent_frame_zero
@@ -336,21 +342,121 @@ def time_travel_sample_segment(
 
     # static unrolled outer loop (steps are few at inference; keeps the
     # lookahead control flow compile-time static)
-    i = 0
-    while i < n_steps:
-        if interval > 0 and i % interval == 0 and i + 1 < n_steps:
-            # lookahead: step i, then travel forward, average velocities
-            x1, v0 = euler_tail(latent, sig[i], sig[i + 1])
-            xt = x1
-            for j in range(i + 1, min(i + 1 + travel_steps, n_steps)):
-                xt, _ = euler_tail(xt, sig[j], sig[j + 1])
-            v_look = denoise_fn(
-                xt, t_frame_at(sig[min(i + 1 + travel_steps, n_steps)]))
-            v_avg = 0.5 * (v0 + v_look)
-            latent, _ = euler_tail(latent, sig[i], sig[i + 1], v=v_avg)
-        else:
-            latent, _ = euler_tail(latent, sig[i], sig[i + 1])
-        i += 1
+    for i in range(n_steps):
+        provisional, v0 = euler_tail(latent, sig[i], sig[i + 1])
+        if interval > 0 and i % interval == 0:
+            # lookahead rollout j = i+1 .. min(n_steps, i+travel_steps)−1
+            travel_stop = min(n_steps, i + travel_steps)
+            xt, v_look = provisional, None
+            for j in range(i + 1, travel_stop):
+                xt, v_look = euler_tail(xt, sig[j], sig[j + 1])
+            if v_look is not None:
+                # splice-back: redo step i from the ORIGINAL latent with the
+                # lookahead velocity
+                latent, _ = euler_tail(latent, sig[i], sig[i + 1], v=v_look)
+                continue
+        latent = provisional
+    return latent
+
+
+def cfg_time_travel_sample_segment(
+    denoise_fn: Callable[[jax.Array, jax.Array, jax.Array], jax.Array],
+    latent: jax.Array,
+    noise: jax.Array,
+    ctx: jax.Array,
+    ctx_null: jax.Array,
+    sigmas: np.ndarray,
+    latent_frame_zero: int,
+    guide_scale: float,
+    *,
+    interval: int = 2,
+    travel_steps: int = 2,
+    sde: bool = False,
+    rng: Optional[jax.Array] = None,
+    eta: float = 0.3,
+) -> jax.Array:
+    """The exact 14B TTS time-travel loop (reference fastvideo/sample/
+    sample_tts.py:690-854): CFG Euler on the tail with per-step history
+    re-noise, and every ``interval`` steps a lookahead rollout whose final
+    velocity REPLACES the provisional step-i velocity (splice-back). With
+    ``sde`` the Euler–Maruyama churn (:726-744) applies inside both the
+    outer and travel loops.
+
+    Arithmetic notes mirrored from the reference:
+      * history re-noise index is min(S−1, ·) — the prefix never reaches
+        σ=0 (:826-833);
+      * the travel entry state re-noises the history at σ_{i+travel_steps}
+        while the tail is at σ_{i+1} (:765-776);
+      * when the inner loop is empty (i near the end) the reference would
+        splice a stale velocity from the previous travel — we keep the
+        provisional step instead (the only intentional divergence).
+    """
+    b, f = latent.shape[:2]
+    f_hist = f - latent_frame_zero
+    clean_history = latent[:, :f_hist]
+    sig = np.asarray(sigmas, np.float32)
+    n_steps = len(sig) - 1  # ladder includes the appended terminal 0
+
+    def hist_at(idx: int):
+        s = float(sig[min(n_steps - 1, idx)])
+        return s * noise[:, :f_hist] + (1.0 - s) * clean_history
+
+    def cfg_v(lat, s_i):
+        t_frame = jnp.full((b, f), s_i * 1000.0)
+        v_c = denoise_fn(lat, t_frame, ctx)
+        v_u = denoise_fn(lat, t_frame, ctx_null)
+        return v_u + guide_scale * (v_c - v_u)
+
+    def churn(tail_new, lat_tail, v_tail, s_i, s_n, rng, final=False):
+        """SDE correction on an updated tail (reference :726-744): the mean
+        is shifted by −½η²·score·dσ and η√Δt noise is added. At the final
+        outer step the reference zeroes Δt (no noise) but keeps the mean
+        shift (:733-737)."""
+        rng, eps_rng = jax.random.split(rng)
+        pred_x0 = lat_tail + (0.0 - s_i) * v_tail
+        delta_t = 0.0 if final else max(s_i - s_n, 0.0)
+        dsigma = s_n - s_i
+        std = eta * float(np.sqrt(delta_t))
+        score = -(lat_tail - pred_x0 * (1.0 - s_i)) / (s_i ** 2)
+        mean = tail_new + (-0.5 * eta ** 2 * score) * dsigma
+        eps = jax.random.normal(eps_rng, tail_new.shape, tail_new.dtype)
+        return mean + std * eps, rng
+
+    # start: tail = fresh noise, history re-noised at σ_0 (like
+    # cfg_euler_sample_segment; reference :756-760)
+    latent = jnp.concatenate(
+        [hist_at(0), noise[:, f_hist:]], axis=1)
+
+    for i in range(n_steps):
+        s_i, s_n = float(sig[i]), float(sig[i + 1])
+        v = cfg_v(latent, s_i)
+        lat_tail = latent[:, -latent_frame_zero:]
+        temp_x0 = lat_tail + (s_n - s_i) * v[:, -latent_frame_zero:]
+        if sde:
+            temp_x0, rng = churn(temp_x0, lat_tail,
+                                 v[:, -latent_frame_zero:], s_i, s_n, rng,
+                                 final=(i + 1 == n_steps))
+
+        if interval > 0 and i % interval == 0:
+            travel_stop = min(n_steps - 1, i + travel_steps)
+            lat_tr = jnp.concatenate([hist_at(travel_stop), temp_x0], axis=1)
+            current_pred = None
+            for j in range(i + 1, travel_stop):
+                sj, sjn = float(sig[j]), float(sig[j + 1])
+                v_tr = cfg_v(lat_tr, sj)
+                tr_tail = lat_tr[:, -latent_frame_zero:]
+                x0_tr = tr_tail + (sjn - sj) * v_tr[:, -latent_frame_zero:]
+                if sde:
+                    x0_tr, rng = churn(x0_tr, tr_tail,
+                                       v_tr[:, -latent_frame_zero:], sj, sjn,
+                                       rng)
+                lat_tr = jnp.concatenate([hist_at(j + 1), x0_tr], axis=1)
+                current_pred = v_tr
+            if current_pred is not None:
+                temp_x0 = lat_tail + (s_n - s_i) * \
+                    current_pred[:, -latent_frame_zero:]
+
+        latent = jnp.concatenate([hist_at(i + 1), temp_x0], axis=1)
     return latent
 
 

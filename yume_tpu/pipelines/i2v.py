@@ -218,6 +218,45 @@ class I2VPipeline:
             denoise, latent0, noise, ctx, ctx_null, sig, lfz, guide_scale
         )
 
+    @functools.partial(jax.jit,
+                       static_argnums=(0, 7, 8, 9, 10, 11, 12))
+    def _sample_cfg_tts(self, params, noise, y, ctx, ctx_null, clip_ctx,
+                        steps, shift, guide_scale, interval, travel_steps,
+                        sde, rng=None):
+        """TTS sampling — the exact reference loop (fastvideo/sample/
+        sample_tts.py:690-854): CFG Euler + history re-noise with time-travel
+        splice-back (``interval``>0) and/or SDE churn (``sde``).
+        Golden-tested against a transcription oracle in
+        tests/test_tts_sampler.py."""
+        sig = sampling_sigmas(steps, shift)
+        lfz = self.config.latent_frame_zero
+
+        def denoise(latent, t_frame, context):
+            x_in = jnp.concatenate([latent, y], axis=-1).astype(jnp.bfloat16)
+            if isinstance(params, tuple):
+                from ..models.quantized import int8_dit_apply
+
+                out = int8_dit_apply(
+                    self.dit, params[0], params[1], x_in, t_frame, context,
+                    latent_frame_zero=lfz, clip_context=clip_ctx,
+                    attn_impl=self.attn_impl).astype(latent.dtype)
+            else:
+                out = self.dit.apply(
+                    params, x_in, t_frame, context, packed=True,
+                    latent_frame_zero=lfz, clip_context=clip_ctx,
+                    attn_impl=self.attn_impl,
+                ).astype(latent.dtype)
+            pad = jnp.zeros_like(latent[:, : latent.shape[1] - lfz])
+            return jnp.concatenate([pad, out], axis=1)
+
+        clean_hist = y[..., self.config.vae.stride[0]:]
+        latent0 = jnp.concatenate(
+            [clean_hist[:, : noise.shape[1] - lfz], noise[:, -lfz:]], axis=1
+        )
+        return samplers.cfg_time_travel_sample_segment(
+            denoise, latent0, noise, ctx, ctx_null, sig, lfz, guide_scale,
+            interval=interval, travel_steps=travel_steps, sde=sde, rng=rng)
+
     @functools.partial(jax.jit, static_argnums=(0, 7, 8, 9, 10))
     def _sample_cfg_teacache(self, params, noise, y, ctx, ctx_null, clip_ctx,
                              steps, shift, guide_scale, cache_interval=2):
@@ -305,6 +344,15 @@ class I2VPipeline:
             latents = self._sample_cfg_teacache(
                 self.dit_params, noise, y, ctx, ctx_null, clip_ctx, steps,
                 shift, guide_scale)
+        elif sampler in ("sde", "time_travel", "tts"):
+            # TTS: 'sde' = churn only, 'time_travel' = lookahead only,
+            # 'tts' = both (reference sample_tts.py runs them combined)
+            latents = self._sample_cfg_tts(
+                self.dit_params, noise, y, ctx, ctx_null, clip_ctx, steps,
+                shift, guide_scale,
+                0 if sampler == "sde" else 2, 2,
+                sampler in ("sde", "tts"),
+                rng=jax.random.PRNGKey(seed + 7777))
         else:
             latents = self._sample_cfg(self.dit_params, noise, y, ctx,
                                        ctx_null, clip_ctx, steps, shift,
@@ -322,6 +370,7 @@ class I2VPipeline:
         shift: Optional[float] = None,
         guide_scale: float = 5.0,
         seed: int = 0,
+        sampler: str = "euler",
     ) -> Tuple[jax.Array, jax.Array]:
         """Autoregressive continuation: re-condition on the decoded history
         video and denoise ``frame_zero`` new pixel frames (reference
@@ -332,4 +381,5 @@ class I2VPipeline:
         return self.generate(
             history_video, ctx, ctx_null, frame_num=frame_num, steps=steps,
             shift=shift, guide_scale=guide_scale, history_mode=True, seed=seed,
+            sampler=sampler,
         )

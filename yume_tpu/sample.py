@@ -158,7 +158,8 @@ def main(argv=None):
 
         refiner = get_refiner(args.refiner_model)
         captions = [refiner(c) for c in captions]
-    sampler = ("sde" if args.sde else
+    sampler = ("tts" if args.sde and args.time_travel else
+               "sde" if args.sde else
                "time_travel" if args.time_travel else
                "teacache" if args.teacache else "euler")
 
@@ -178,8 +179,7 @@ def main(argv=None):
         latents, video = pipe.generate(
             jnp.asarray(img)[None, None], ctx, ctx_null, frame_num=frame_num,
             steps=steps, shift=args.shift, guide_scale=args.guide_scale,
-            seed=args.seed,
-            sampler="teacache" if args.teacache else "euler")
+            seed=args.seed, sampler=sampler)
         save_video(np.asarray(video[0]),
                    os.path.join(args.output_dir, "segment_000.mp4"),
                    fps=cfg.sample_fps)
