@@ -59,3 +59,58 @@ def test_sp_attention_masks_padding(kind):
     want = xla_attention(q[:, :l_true], q[:, :l_true], q[:, :l_true])
     np.testing.assert_allclose(np.asarray(got[:, :l_true]), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("u,r", [(2, 4), (4, 2), (8, 1), (1, 8)])
+def test_usp_hybrid_matches_dense(u, r):
+    """Ulysses×ring hybrid over a 2D sp mesh == dense attention (the
+    reference delegates this composition to xfuser,
+    wan/distributed/xdit_context_parallel.py:179)."""
+    from yume_tpu.ops.attention import xla_attention
+    from yume_tpu.parallel.mesh import make_usp_mesh
+    from yume_tpu.parallel.ulysses import usp_shard_map_attention
+
+    mesh = make_usp_mesh(data=1, fsdp=1, sp_u=u, sp_r=r)
+    b, l, n, d = 2, 32, 8, 16
+    rng = jax.random.PRNGKey(0)
+    q, k, v = (jax.random.normal(jax.random.fold_in(rng, i), (b, l, n, d))
+               for i in range(3))
+    got = usp_shard_map_attention(mesh)(q, k, v)
+    want = xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_usp_hybrid_kv_len_masking():
+    from yume_tpu.ops.attention import xla_attention
+    from yume_tpu.parallel.mesh import make_usp_mesh
+    from yume_tpu.parallel.ulysses import usp_shard_map_attention
+
+    mesh = make_usp_mesh(data=1, fsdp=1, sp_u=2, sp_r=4)
+    b, l_true, l_pad, n, d = 2, 27, 32, 8, 16
+    q = jax.random.normal(jax.random.PRNGKey(1), (b, l_pad, n, d))
+    kv_len = jnp.full((b,), l_true, jnp.int32)
+    got = usp_shard_map_attention(mesh, kv_len=kv_len)(q, q, q)
+    want = xla_attention(q[:, :l_true], q[:, :l_true], q[:, :l_true])
+    np.testing.assert_allclose(np.asarray(got[:, :l_true]), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_sp_forward_usp_matches_dense():
+    """Full DiT trunk sharded over the 2D usp mesh == dense forward."""
+    from yume_tpu.parallel.mesh import make_usp_mesh
+
+    mesh = make_usp_mesh(data=1, fsdp=1, sp_u=2, sp_r=4)
+    dit = WanDiT(CFG, dtype=jnp.float32)
+    lfz = 2
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 5, 8, 8, CFG.in_dim))
+    t = jnp.zeros((1, 5)).at[:, -lfz:].set(600.0)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 16, CFG.text_dim))
+    params = dit.init(jax.random.PRNGKey(2), x, t, ctx, packed=True,
+                      latent_frame_zero=lfz)
+    want = dit.apply(params, x, t, ctx, packed=True, latent_frame_zero=lfz,
+                     attn_impl="xla")
+    got = sp_dit_apply(dit, params, mesh, x, t, ctx, latent_frame_zero=lfz,
+                       kind="usp")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)

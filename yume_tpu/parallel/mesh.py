@@ -39,6 +39,28 @@ def make_mesh(
     return Mesh(arr, ("data", "fsdp", "sp"))
 
 
+def make_usp_mesh(
+    data: int = 1,
+    fsdp: int = 1,
+    sp_u: int = 2,
+    sp_r: int = -1,
+    *,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """2D sequence-parallel mesh for USP hybrid attention (ulysses over
+    ``sp_u``, ring over ``sp_r``) — ≙ the reference's xDiT USP degrees
+    (ulysses_degree × ring_degree, wan/distributed/xdit_context_parallel.py).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if sp_r == -1:
+        assert n % (data * fsdp * sp_u) == 0, (n, data, fsdp, sp_u)
+        sp_r = n // (data * fsdp * sp_u)
+    assert data * fsdp * sp_u * sp_r == n, (data, fsdp, sp_u, sp_r, n)
+    arr = np.array(devices).reshape(data, fsdp, sp_u, sp_r)
+    return Mesh(arr, ("data", "fsdp", "sp_u", "sp_r"))
+
+
 def param_sharding_rule(path: Tuple, leaf) -> P:
     """ZeRO-3-style parameter sharding: shard the largest axis of each ≥2D
     parameter across ``fsdp`` (≙ FSDP FULL_SHARD per-block wrapping,

@@ -48,8 +48,15 @@ def sp_dit_apply(
     kind: str = "ulysses",
 ) -> jax.Array:
     """Packed DiT forward with the trunk sequence-sharded over mesh axis
-    'sp'. Returns the tail-frame velocity like the packed forward."""
-    sp = mesh.shape["sp"]
+    'sp' (or, for ``kind='usp'``, the 2D (sp_u, sp_r) axes of a
+    make_usp_mesh). Returns the tail-frame velocity like the packed
+    forward."""
+    if kind == "usp":
+        sp_axes: tuple = ("sp_u", "sp_r")
+        sp = mesh.shape["sp_u"] * mesh.shape["sp_r"]
+    else:
+        sp_axes = ("sp",)
+        sp = mesh.shape["sp"]
     emb = dit.apply(params, x, t_frame, context, latent_frame_zero,
                     clip_context, method=dit.embed_packed)
     tokens, idx = emb["tokens"], emb["idx"]
@@ -68,6 +75,11 @@ def sp_dit_apply(
             attn_fn=functools.partial(flash_attention, kv_len=kv_len)
             if jax.default_backend() == "tpu" else None,
         )
+    elif kind == "usp":
+        from .ulysses import usp_attention
+
+        sp_attn = functools.partial(usp_attention, ulysses_axis="sp_u",
+                                    ring_axis="sp_r", kv_len=kv_len)
     else:
         sp_attn = functools.partial(ring_attention, axis_name="sp",
                                     kv_len=kv_len)
@@ -81,8 +93,9 @@ def sp_dit_apply(
     out = shard_map(
         trunk,
         mesh=mesh,
-        in_specs=(P(None, "sp", None), P(None, "sp"), P("sp", None), P("sp", None)),
-        out_specs=P(None, "sp", None),
+        in_specs=(P(None, sp_axes, None), P(None, sp_axes),
+                  P(sp_axes, None), P(sp_axes, None)),
+        out_specs=P(None, sp_axes, None),
         check_rep=False,
     )(tokens, idx, cos, sin)
 
