@@ -90,7 +90,7 @@ def test_t2v_multistep_solvers():
     ids = jnp.zeros((1, 16), jnp.int32)
     ctx = pipe.encode_text(ids, jnp.ones_like(ids))
     ctx_null = pipe.encode_text(ids + 1, jnp.ones_like(ids))
-    for solver in ("unipc", "dpmpp"):
+    for solver in ("unipc", "unipc3", "dpmpp"):
         video = pipe.generate_t2v(ctx, size=(32, 32), frame_num=5, steps=2,
                                   solver=solver, ctx_null=ctx_null,
                                   guide_scale=3.0)

@@ -89,43 +89,115 @@ def sample_dpmpp_2m(
     return out.x
 
 
+def _np_lam(s: float) -> float:
+    with np.errstate(divide="ignore"):
+        return float(np.log(1.0 - s) - np.log(s))
+
+
+def _unipc_coeffs(s0: float, st: float, hist_sigmas, order: int,
+                  solver_type: str):
+    """B(h)-series coefficients for one UniP/UniC update, float64 numpy
+    (the sigma ladder is static, so these are trace-time constants).
+    Mirrors fm_solvers_unipc.py:416-452/575-599 with predict_x0=True."""
+    h = _np_lam(st) - _np_lam(s0)
+    hh = -h
+    h_phi_1 = np.expm1(hh)
+    B_h = np.expm1(hh) if solver_type == "bh2" else hh
+    rks = [(_np_lam(si) - _np_lam(s0)) / h for si in hist_sigmas] + [1.0]
+    rks = np.asarray(rks, np.float64)
+    R, b = [], []
+    h_phi_k = h_phi_1 / hh - 1.0
+    fact = 1.0
+    for i in range(1, order + 1):
+        R.append(np.power(rks, i - 1))
+        b.append(h_phi_k * fact / B_h)
+        fact *= i + 1
+        h_phi_k = h_phi_k / hh - 1.0 / fact
+    return float(h_phi_1), float(B_h), rks, np.stack(R), np.asarray(b)
+
+
 def sample_unipc(
     denoise_fn: Callable[[jax.Array, jax.Array], jax.Array],
     noise: jax.Array,
     sigmas: np.ndarray,
+    *,
+    order: int = 2,
+    solver_type: str = "bh2",
+    lower_order_final: bool = True,
+    use_corrector: bool = True,
 ) -> jax.Array:
-    """UniPC (order 2, bh2) predictor–corrector sampling: after the
-    DPM-style predictor reaches σ_next, evaluate the model there and apply a
-    bh2 correction (reference FlowUniPCMultistepScheduler behaviour at
-    order 2; one extra model call per step like the reference's
-    corrector)."""
+    """UniPC multistep sampling at any order with the UniC corrector —
+    faithful to the reference FlowUniPCMultistepScheduler
+    (wan/utils/fm_solvers_unipc.py:350-739, predict_x0=True,
+    prediction_type='flow_prediction'): ONE model call per sigma; each new
+    model output first *corrects* the previous predictor step (UniC-p),
+    then predicts the next sample (UniP-p), with order warmup and
+    lower-order-final. All B(h) linear solves happen in float64 numpy at
+    trace time.
+
+    ``denoise_fn(x, sigma[B]) -> velocity``; ``sigmas`` descending, last
+    entry 0 (terminal step lands on the data prediction exactly).
+    """
+    sig = [float(s) for s in np.asarray(sigmas, np.float64)]
+    n_steps = len(sig) - 1
     b = noise.shape[0]
-    sig = jnp.asarray(sigmas, jnp.float32)
-    trips = jnp.stack([sig[:-1], sig[1:],
-                       jnp.concatenate([sig[:1], sig[:-2]])], axis=1)
+    x = noise
+    model_outputs: list = []   # converted x0 predictions, most recent last
+    out_sigmas: list = []      # their sigmas
+    last_sample = None
+    prev_order = 0
+    lower_order_nums = 0
 
-    def step(carry: MultistepCarry, tr):
-        s_i, s_n, s_p = tr[0], tr[1], tr[2]
-        v = denoise_fn(carry.x, jnp.full((b,), s_i))
-        x0 = _data_pred(carry.x, v, s_i)
-        # predictor
-        x_pred = dpm_solver_step(
-            carry.x, x0, carry.prev_x0, carry.have_prev, s_i, s_n, s_p
-        )
-        # corrector: evaluate at σ_next, average data predictions (bh2)
-        def corrected():
-            v_n = denoise_fn(x_pred, jnp.full((b,), s_n))
-            x0_n = _data_pred(x_pred, v_n, s_n)
-            lam, lam_n = _lam(s_i), _lam(s_n)
-            h = lam_n - lam
-            alpha_n = 1.0 - s_n
-            d = 0.5 * (x0 + x0_n)
-            ratio = jnp.where(s_i > 0, s_n / s_i, 0.0)
-            return ratio * carry.x + alpha_n * (-jnp.expm1(-h)) * d
+    for i in range(n_steps):
+        s0 = sig[i]
+        v = denoise_fn(x, jnp.full((b,), s0, noise.dtype))
+        m = x - s0 * v  # flow velocity → data prediction (:306-312)
 
-        x_next = jnp.where(s_n <= 1e-6, x0, corrected())
-        return MultistepCarry(x_next, x0, jnp.array(True)), None
+        if use_corrector and i > 0 and last_sample is not None:
+            oc = prev_order
+            st, ss0 = sig[i], sig[i - 1]
+            hist = [out_sigmas[-(j + 1)] for j in range(1, oc)]
+            h_phi_1, B_h, rks, R, bvec = _unipc_coeffs(
+                ss0, st, hist, oc, solver_type)
+            rhos_c = (np.asarray([0.5]) if oc == 1
+                      else np.linalg.solve(R, bvec))
+            m0 = model_outputs[-1]
+            corr = 0.0
+            for j in range(1, oc):
+                corr = corr + float(rhos_c[j - 1]) * \
+                    (model_outputs[-(j + 1)] - m0) / float(rks[j - 1])
+            alpha_t = 1.0 - st
+            x_ = (st / ss0) * last_sample - alpha_t * h_phi_1 * m0
+            x = x_ - alpha_t * B_h * (corr + float(rhos_c[-1]) * (m - m0))
+            # NOTE: the stored conversion `m` stays the PRE-correction one
+            # (reference step(), fm_solvers_unipc.py:699-709)
 
-    init = MultistepCarry(noise, jnp.zeros_like(noise), jnp.array(False))
-    out, _ = jax.lax.scan(step, init, trips)
-    return out.x
+        model_outputs.append(m)
+        out_sigmas.append(s0)
+        if len(model_outputs) > order:
+            model_outputs.pop(0)
+            out_sigmas.pop(0)
+
+        this_order = min(order, n_steps - i) if lower_order_final else order
+        this_order = min(this_order, lower_order_nums + 1)
+        last_sample = x
+
+        st = sig[i + 1]
+        hist = [out_sigmas[-(j + 1)] for j in range(1, this_order)]
+        h_phi_1, B_h, rks, R, bvec = _unipc_coeffs(
+            s0, st, hist, this_order, solver_type)
+        m0 = model_outputs[-1]
+        alpha_t = 1.0 - st
+        x = (st / s0) * last_sample - alpha_t * h_phi_1 * m0
+        if this_order > 1:
+            rhos_p = (np.asarray([0.5]) if this_order == 2
+                      else np.linalg.solve(R[:-1, :-1], bvec[:-1]))
+            pred = 0.0
+            for j in range(1, this_order):
+                pred = pred + float(rhos_p[j - 1]) * \
+                    (model_outputs[-(j + 1)] - m0) / float(rks[j - 1])
+            x = x - alpha_t * B_h * pred
+
+        lower_order_nums = min(lower_order_nums + 1, order)
+        prev_order = this_order
+    return x

@@ -48,6 +48,17 @@ def sampling_sigmas(sampling_steps: int, shift: float, *, append_zero: bool = Tr
     return sigma.astype(np.float32)
 
 
+def unipc_sigmas(sampling_steps: int, shift: float,
+                 num_train_timesteps: int = 1000) -> np.ndarray:
+    """The UniPC scheduler's default ladder (reference
+    fm_solvers_unipc.py:182-207 set_timesteps): σ_max = 1 − 1/N (not 1),
+    shifted, with a terminal 0 appended (final_sigmas_type='zero')."""
+    sigma_max = 1.0 - 1.0 / num_train_timesteps
+    sigma = np.linspace(sigma_max, 0.0, sampling_steps + 1)[:-1]
+    sigma = shift_t(sigma, shift)
+    return np.concatenate([sigma, [0.0]]).astype(np.float32)
+
+
 def lin_mu(seq_len: int, x1: float = 256, y1: float = 0.5, x2: float = 4096, y2: float = 1.15) -> float:
     """Resolution-dependent shift exponent (reference transport.py:52-57)."""
     m = (y2 - y1) / (x2 - x1)

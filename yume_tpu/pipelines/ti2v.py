@@ -20,7 +20,7 @@ import numpy as np
 
 from ..configs import PipelineConfig
 from ..diffusion import samplers
-from ..diffusion.schedule import sampling_sigmas
+from ..diffusion.schedule import sampling_sigmas, unipc_sigmas
 from ..models.dit import WanDiT
 from ..models.t5 import T5Encoder
 from ..models.vae import WanVAE
@@ -144,9 +144,13 @@ class TI2VPipeline:
                 v = v_u + guide_scale * (v - v_u)
             return v
 
-        fn = {"unipc": multistep.sample_unipc,
-              "dpmpp": multistep.sample_dpmpp_2m}[solver]
-        return fn(model, noise, sig)
+        if solver == "dpmpp":
+            return multistep.sample_dpmpp_2m(model, noise, sig)
+        # UniPC: the scheduler's native ladder (σ_max = 1 − 1/N,
+        # fm_solvers_unipc.py set_timesteps) and optional order-3
+        order = {"unipc": 2, "unipc3": 3}[solver]
+        sig = unipc_sigmas(steps, shift)
+        return multistep.sample_unipc(model, noise, sig, order=order)
 
     @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
     def _sample_segment(self, params, latent, ctx, history_t, steps, shift, lfz):

@@ -42,6 +42,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--width", type=int, default=1280)
     p.add_argument("--height", type=int, default=704)
     p.add_argument("--sample_num", type=int, default=1, help="autoregressive segments")
+    p.add_argument("--sample_solver", default="euler",
+                   choices=["euler", "unipc", "unipc3", "dpmpp"],
+                   help="t2v solver (unipc/unipc3/dpmpp = stock Wan CFG "
+                        "multistep loop, wan/text2video.py:110-267)")
     p.add_argument("--sde", action="store_true", help="TTS SDE churn sampling")
     p.add_argument("--time_travel", action="store_true", help="TTS lookahead sampling")
     p.add_argument("--int8", action="store_true",
@@ -201,7 +205,10 @@ def main(argv=None):
         video = pipe.generate_t2v(
             ctx, size=size if not args.smoke else (32, 32),
             frame_num=frame_num, steps=steps, shift=args.shift,
-            seed=args.seed,
+            seed=args.seed, solver=args.sample_solver,
+            ctx_null=encode(args.neg_prompt or cfg.sample_neg_prompt)
+            if args.sample_solver != "euler" else None,
+            guide_scale=args.guide_scale,
         )
         first_latents = pipe.encode_auto(video)
         if args.int8 or args.int4:
