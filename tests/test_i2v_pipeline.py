@@ -121,3 +121,39 @@ def test_i2v_tts_samplers():
         outs[sampler] = np.asarray(latents)
     for sampler, lat in outs.items():
         assert not np.allclose(lat, np.asarray(base)), sampler
+
+
+def test_incremental_conditioning_matches_full_encode():
+    """History-mode conditioning via the streaming-VAE cache must equal the
+    full re-encode, across two autoregressive extensions."""
+    pipe = I2VPipeline.from_config(
+        TINY, jax.random.PRNGKey(0), init_t5=True, init_clip=True,
+        latent_shape=(3, 4, 4), dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(0)
+
+    def frames(n):
+        return jnp.asarray(rng.standard_normal((1, n, 32, 32, 3)) * 0.2,
+                           jnp.float32)
+
+    hist1 = frames(5)          # 4n+1
+    hist2 = jnp.concatenate([hist1, frames(4)], axis=1)  # +4 new frames
+
+    def full_encode(f, frame_num):
+        padded = jnp.concatenate(
+            [f, jnp.zeros((1, frame_num - f.shape[1], 32, 32, 3))], axis=1)
+        return pipe._encode(padded)
+
+    pipe._cond_cache = None
+    y1 = pipe.make_conditioning(hist1, 9, history_mode=True)
+    assert pipe._cond_cache is not None and pipe._cond_cache["frames"] == 5
+    np.testing.assert_allclose(np.asarray(y1[..., 2:]),
+                               np.asarray(full_encode(hist1, 9)),
+                               atol=2e-4, rtol=2e-4)
+
+    # second segment: only the 4 new frames encode through the cache
+    y2 = pipe.make_conditioning(hist2, 13, history_mode=True)
+    assert pipe._cond_cache["frames"] == 9
+    np.testing.assert_allclose(np.asarray(y2[..., 2:]),
+                               np.asarray(full_encode(hist2, 13)),
+                               atol=2e-4, rtol=2e-4)

@@ -64,6 +64,9 @@ class I2VPipeline:
     clip: Optional[CLIPVisual] = None
     clip_params: Any = None
     attn_impl: Optional[str] = None
+    # streaming-VAE conditioning cache for autoregressive rollouts
+    # (_encode_history_incremental)
+    _cond_cache: Any = None
 
     @classmethod
     def from_config(
@@ -163,22 +166,73 @@ class I2VPipeline:
 
         cond_frames: [B, Fc, H, W, 3] pixel conditioning frames (1 frame for
         i2v; the history for v2v continuation).
+
+        History mode caches the streaming-VAE encoder state: each
+        autoregressive segment only encodes the NEW pixel frames and the
+        zero tail (O(new) instead of the reference's O(full history) per
+        segment, wan/image2video.py:490-503 — exactness comes from the
+        causal VAE's carried caches, models/vae.py streaming API).
         """
         b, fc, h, w, _ = cond_frames.shape
         s = self.config.vae.stride
         lat_h, lat_w = h // s[1], w // s[2]
         pad_frames = frame_num - fc
-        padded = jnp.concatenate(
-            [cond_frames, jnp.zeros((b, pad_frames, h, w, 3), cond_frames.dtype)],
-            axis=1,
-        )
-        z_cond = self._encode(padded)  # [B, F_lat, lat_h, lat_w, 16]
+        if history_mode:
+            z_cond = self._encode_history_incremental(cond_frames, pad_frames)
+        else:
+            self._cond_cache = None
+            padded = jnp.concatenate(
+                [cond_frames,
+                 jnp.zeros((b, pad_frames, h, w, 3), cond_frames.dtype)],
+                axis=1,
+            )
+            z_cond = self._encode(padded)  # [B, F_lat, lat_h, lat_w, 16]
         msk = build_mask_channels(
             frame_num, lat_h, lat_w,
             cond_pixel_frames=fc if history_mode else 1, batch=b,
             stride_t=s[0],
         )
         return jnp.concatenate([msk, z_cond], axis=-1)
+
+    def _stream_encode(self, frames, caches):
+        """Chunked VAE encode resuming from carried caches (exact)."""
+        from ..models.vae import _jit_encode_chunk
+
+        fn = _jit_encode_chunk(self.vae)
+        outs = []
+        start = 0
+        if caches is None:
+            mu, caches = fn(self.vae_params, frames[:, :1], None)
+            outs.append(mu)
+            start = 1
+        for i in range(start, frames.shape[1], 4):
+            mu, caches = fn(self.vae_params, frames[:, i:i + 4], caches)
+            outs.append(mu)
+        return jnp.concatenate(outs, axis=1), caches
+
+    def _encode_history_incremental(self, frames, pad_frames):
+        b, fc, h, w, _ = frames.shape
+        cache = getattr(self, "_cond_cache", None)
+        if (cache is not None and 0 < cache["frames"] < fc
+                and (fc - cache["frames"]) % 4 == 0
+                and cache["hw"] == (h, w)):
+            z_new, carry = self._stream_encode(
+                frames[:, cache["frames"]:], cache["carry"])
+            z_hist = jnp.concatenate([cache["z_hist"], z_new], axis=1)
+        elif fc % 4 == 1:
+            z_hist, carry = self._stream_encode(frames, None)
+        else:
+            # non-4n+1 history can't stream-chunk; fall back to full encode
+            self._cond_cache = None
+            padded = jnp.concatenate(
+                [frames, jnp.zeros((b, pad_frames, h, w, 3), frames.dtype)],
+                axis=1)
+            return self._encode(padded)
+        self._cond_cache = dict(frames=fc, carry=carry, z_hist=z_hist,
+                                hw=(h, w))
+        zeros = jnp.zeros((b, pad_frames, h, w, 3), frames.dtype)
+        z_tail, _ = self._stream_encode(zeros, carry)
+        return jnp.concatenate([z_hist, z_tail], axis=1)
 
     # -- sampling -------------------------------------------------------------
 

@@ -152,11 +152,19 @@ class TI2VPipeline:
         sig = unipc_sigmas(steps, shift)
         return multistep.sample_unipc(model, noise, sig, order=order)
 
-    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
-    def _sample_segment(self, params, latent, ctx, history_t, steps, shift, lfz):
+    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8))
+    def _sample_segment(self, params, latent, ctx, history_t, steps, shift,
+                        lfz, progress_cb=None):
         sig = sampling_sigmas(steps, shift)
 
         def denoise(lat, t_frame):
+            if progress_cb is not None:
+                # per-step host progress (≙ the reference webapp's live step
+                # logging); ordered so steps report in sequence
+                import jax.experimental
+
+                jax.experimental.io_callback(
+                    progress_cb, None, t_frame[0, -1], ordered=True)
             if isinstance(params, tuple):  # int8 trunk (quantize_int8())
                 from ..models.quantized import int8_dit_apply
 
@@ -343,6 +351,7 @@ class TI2VPipeline:
         solver: str = "euler",
         ctx_null: Optional[jax.Array] = None,
         guide_scale: float = 5.0,
+        return_latents: bool = False,
     ) -> jax.Array:
         """Text-to-video, single segment. ``solver='euler'`` is the 5B t2v
         path (reference sample_5b.py --T2V, flag=False unpacked, no CFG);
@@ -369,6 +378,8 @@ class TI2VPipeline:
             latent = self._sample_t2v_multistep(
                 self.dit_params, noise, ctx, ctx_null, steps, shift, solver,
                 guide_scale)
+        if return_latents:
+            return latent
         return self.decode_auto(latent)
 
     def generate_segment(
@@ -380,12 +391,14 @@ class TI2VPipeline:
         shift: float = 7.0,
         seed: int = 0,
         sampler: str = "euler",
+        progress_cb=None,
     ) -> jax.Array:
         """One autoregressive continuation: append `latent_frame_zero` fresh
         noise frames after the history, denoise them (packed history,
         per-frame timesteps), return the grown latent sequence (reference
         sample_5b.py:920-1100). ``sampler``: 'euler' | 'sde' | 'time_travel'
-        (TTS variants, reference sample_tts.py)."""
+        (TTS variants, reference sample_tts.py). ``progress_cb(sigma)`` is
+        called from the device per denoise step (euler only)."""
         lfz = self.config.latent_frame_zero
         b, f_hist, h, w, c = history_latents.shape
         noise = jax.random.normal(
@@ -398,7 +411,7 @@ class TI2VPipeline:
                 f"int8 trunk supports the 'euler' sampler only, got {sampler!r}")
         if sampler == "euler":
             return self._sample_segment(self.dit_params, latent, ctx, history_t,
-                                        steps, shift, lfz)
+                                        steps, shift, lfz, progress_cb)
         if sampler == "teacache":
             return self._sample_segment_teacache(
                 self.dit_params, latent, ctx, history_t, steps, shift, lfz)

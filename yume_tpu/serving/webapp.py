@@ -87,12 +87,61 @@ def load_models(args):
     cfg, pipe = load_pipeline(args)
     if getattr(args, "quant", "none") != "none":
         STATE["quant_bits"] = {"int8": 8, "int4": 4}[args.quant]
+    if getattr(args, "memory_optimization", False):
+        # CPU⇄HBM shuttle ≙ the reference webapp's memory_optimization
+        # (webapp_single_gpu.py:601-608, 819-852): T5 and VAE live in host
+        # RAM and visit the device only for their phase; the DiT stays
+        # resident
+        from ..utils.offload import OffloadSlot
+
+        slot = OffloadSlot()
+        if pipe.t5_params is not None:
+            slot.register("t5", pipe.t5_params)
+            pipe.t5_params = None
+        slot.register("vae", pipe.vae_params)
+        pipe.vae_params = None
+        STATE["offload"] = slot
     STATE["pipe"] = pipe
     STATE["cfg"] = cfg
     STATE["tokenizer"] = Tokenizer(args.tokenizer, seq_len=cfg.t5.text_len,
                                    vocab_size=cfg.t5.vocab_size)
+    if getattr(args, "refiner_model", None):
+        from ..data.prompt_refine import get_refiner
+
+        STATE["refiner"] = get_refiner(args.refiner_model)
     STATE["status"] = "loaded"
     log.info("models loaded (%s, smoke=%s)", args.config, args.smoke)
+
+
+def _phase(name):
+    """Bring one offloaded model onto the device for its phase (no-op when
+    memory_optimization is off)."""
+    slot = STATE.get("offload")
+    pipe = STATE["pipe"]
+    if slot is None:
+        return
+    if name == "t5" and "t5" in slot:
+        pipe.t5_params = slot.use("t5")
+        pipe.vae_params = None
+    elif name == "vae":
+        pipe.vae_params = slot.use("vae")
+        pipe.t5_params = None
+    elif name == "dit":
+        pipe.t5_params = None
+        pipe.vae_params = None
+
+
+def refine_prompt(prompt, image=None):
+    """Refine via the configured model, or the template fallback (reference
+    refine_prompt_from_image, webapp_single_gpu.py:286-341)."""
+    from ..data.prompt_refine import TemplateRefiner
+
+    refiner = STATE.get("refiner") or TemplateRefiner()
+    try:
+        return refiner(prompt, image)
+    except Exception as e:
+        log.error("refine failed: %s", e)
+        return prompt
 
 
 def _generate(req, args):
@@ -108,13 +157,35 @@ def _generate(req, args):
     prompt = req.get("prompt") or control_caption(keys, mouse)
     steps = int(req.get("steps", 2 if args.smoke else 4))
     seed = int(req.get("seed", int(time.time()) % 100000))
+    # number of autoregressive continuation segments in this request
+    # (reference long_generate's per-segment loop, webapp_single_gpu.py:763)
+    segments = max(1, int(req.get("segments", 1)))
 
+    STATE["status"] = "generating"
+    STATE["step"] = {"i": 0, "n": steps, "segment": 0, "segments": segments}
+    STATE["progress"] = f"mode={mode} prompt={prompt[:60]}"
+    t0 = time.time()
+
+    img = None
+    if req.get("image_b64"):
+        raw = base64.b64decode(req["image_b64"])
+        tmp = "/tmp/yume_upload.png"
+        open(tmp, "wb").write(raw)
+        size = (32, 32) if args.smoke else (args.height, args.width)
+        img = load_image(tmp, size=size)
+    if req.get("refine_prompt"):
+        prompt = refine_prompt(prompt, img)
+        STATE["progress"] = f"refined: {prompt[:60]}"
+
+    _phase("t5")
     ids, mask = tok([prompt])
     ctx = pipe.encode_text(jnp.asarray(ids), jnp.asarray(mask))
 
-    STATE["status"] = "generating"
-    STATE["progress"] = f"mode={mode} prompt={prompt[:60]}"
-    t0 = time.time()
+    def on_step(sigma):
+        STATE["step"]["i"] += 1
+        s = STATE["step"]
+        STATE["progress"] = (f"segment {s['segment'] + 1}/{s['segments']} "
+                             f"step {s['i']}/{s['n']} σ={float(sigma):.3f}")
 
     if (mode in ("continue_from_last", "i2v")
             and STATE.get("quant_bits")
@@ -122,38 +193,55 @@ def _generate(req, args):
         # packed-segment modes run on the quantized trunk; t2v keeps bf16
         # until the user stops requesting it (generate_t2v raises otherwise)
         pipe.quantize_int8(bits=STATE["quant_bits"])
-    if mode == "continue_from_last" and STATE["last"] is not None:
-        latents = pipe.generate_segment(STATE["last"], ctx, steps=steps, seed=seed)
-        tail = latents[:, -cfg.latent_frame_zero:]
+
+    def decode(tail):
+        _phase("vae")
         # width-tiled decode bounds memory at 720p+ (reference
         # tiled_decode_overlap, webapp_single_gpu.py:370-551)
-        video = pipe.decode_tiled(tail) if tail.shape[3] >= 40 else pipe._decode(tail)
-    elif mode == "i2v" and req.get("image_b64"):
-        raw = base64.b64decode(req["image_b64"])
-        tmp = "/tmp/yume_upload.png"
-        open(tmp, "wb").write(raw)
-        size = (32, 32) if args.smoke else (args.height, args.width)
-        img = load_image(tmp, size=size)
+        return (pipe.decode_tiled(tail) if tail.shape[3] >= 40
+                else pipe._decode(tail))
+
+    videos = []
+    if mode == "continue_from_last" and STATE["last"] is not None:
+        latents = STATE["last"]
+    elif mode == "i2v" and img is not None:
+        _phase("vae")
         frames = jnp.asarray(np.repeat(img[None], 16, 0))[None]
         frame_num = 5 if args.smoke else cfg.frame_num
         z, _ = pipe.encode_image_conditioning(frames, frame_num)
-        latents = pipe.generate_segment(z[:, : -cfg.latent_frame_zero], ctx,
-                                        steps=steps, seed=seed)
-        video = pipe._decode(latents)
-    else:  # t2v
+        latents = z[:, : -cfg.latent_frame_zero]
+    else:  # t2v first segment
         size = (32, 32) if args.smoke else (args.width, args.height)
         frame_num = 5 if args.smoke else cfg.frame_num
-        video = pipe.generate_t2v(ctx, size=size, frame_num=frame_num,
-                                  steps=steps, seed=seed)
-        latents = pipe.encode_auto(video)
+        _phase("dit")
+        latents = pipe.generate_t2v(ctx, size=size, frame_num=frame_num,
+                                    steps=steps, seed=seed,
+                                    return_latents=True)
+        STATE["step"]["i"] = steps
+        videos.append(decode(latents))
+        segments -= 1
+        STATE["step"]["segment"] += 1
+
+    for s_idx in range(segments):
+        _phase("dit")
+        STATE["step"]["i"] = 0
+        latents = pipe.generate_segment(latents, ctx, steps=steps,
+                                        seed=seed + s_idx,
+                                        progress_cb=on_step)
+        videos.append(decode(latents[:, -cfg.latent_frame_zero:]))
+        STATE["step"]["segment"] += 1
 
     STATE["last"] = latents
-    out = os.path.join(args.output_dir, f"web_{len(STATE['outputs']):04d}.mp4")
-    save_video(np.asarray(video[0]), out, fps=cfg.sample_fps)
-    STATE["outputs"].append(out)
+    outs = []
+    for video in videos:
+        out = os.path.join(args.output_dir,
+                           f"web_{len(STATE['outputs']):04d}.mp4")
+        save_video(np.asarray(video[0]), out, fps=cfg.sample_fps)
+        STATE["outputs"].append(out)
+        outs.append(out)
     STATE["status"] = "done"
-    STATE["progress"] = f"{time.time() - t0:.1f}s → {out}"
-    log.info("generated %s in %.1fs", out, time.time() - t0)
+    STATE["progress"] = f"{time.time() - t0:.1f}s → {', '.join(outs)}"
+    log.info("generated %s in %.1fs", outs, time.time() - t0)
 
 
 class Handler(BaseHTTPRequestHandler):
@@ -182,7 +270,9 @@ class Handler(BaseHTTPRequestHandler):
             self._json({
                 "status": STATE["status"],
                 "progress": STATE["progress"],
+                "step": STATE.get("step"),
                 "outputs": STATE["outputs"],
+                "has_session": STATE["last"] is not None,
             })
         elif self.path.startswith("/api/log/tail"):
             try:
@@ -233,6 +323,19 @@ class Handler(BaseHTTPRequestHandler):
 
             threading.Thread(target=work, daemon=True).start()
             self._json({"status": "started"})
+        elif self.path == "/api/refine_prompt":
+            # ≙ reference /api/refine_prompt → refine_prompt_from_image
+            # (webapp_single_gpu.py:286-341, 1432-1445)
+            img = None
+            if req.get("image_b64"):
+                from ..utils.video import load_image
+
+                raw = base64.b64decode(req["image_b64"])
+                tmp = "/tmp/yume_refine.png"
+                open(tmp, "wb").write(raw)
+                img = load_image(tmp)
+            prompt = req.get("prompt", "")
+            self._json({"prompt": refine_prompt(prompt, img)})
         else:
             self._json({"error": "unknown endpoint"}, 404)
 
@@ -254,6 +357,12 @@ def build_argparser():
                         "(continuation segments only; halves/quarters weight "
                         "HBM like the reference webapp's memory_optimization, "
                         "webapp_single_gpu.py:819-852)")
+    p.add_argument("--memory_optimization", action="store_true",
+                   help="host-offload T5/VAE between phases (≙ reference "
+                        "webapp CPU⇄GPU shuttling, webapp_single_gpu.py:"
+                        "601-608,819-852)")
+    p.add_argument("--refiner_model", default=None,
+                   help="local InternVL-style model dir for /api/refine_prompt")
     p.add_argument("--seed", type=int, default=0)
     return p
 

@@ -43,6 +43,9 @@ class OffloadSlot:
     def register(self, name: str, params):
         self._host[name] = to_host(params)
 
+    def __contains__(self, name: str) -> bool:
+        return name in self._host
+
     def use(self, name: str, dtype=None):
         """Return device params for ``name``, evicting all other slots."""
         for k in list(self._device):
