@@ -1,0 +1,221 @@
+"""Full reference-shaped checkpoint round-trips.
+
+Round 1 only exercised the torch→flax converters against in-memory
+per-module state dicts. These tests exercise the FULL released-checkpoint
+path the reference uses (fastvideo/utils/checkpoint.py:285-337
+`resume_checkpoint_yume`):
+
+  * a sharded safetensors directory with a
+    ``diffusion_pytorch_model.safetensors.index.json`` weight map,
+  * FSDP-era wrapper prefixes on keys + strict=False missing/unexpected
+    key tolerance (released Yume-DiT weights load into the
+    FramePack-augmented model with strict=False),
+  * the multi-file checkpoint directory layout consumed by
+    ``sample.load_torch_weights`` (DiT safetensors + ``Wan2.2_VAE.pth`` +
+    ``models_t5_umt5-xxl-enc-bf16.pth``),
+
+each verified by golden forward parity against the torch reference model
+the checkpoint came from — i.e. weights survive disk → index → convert →
+apply bit-compatibly.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from conftest import requires_reference
+
+torch = pytest.importorskip("torch")
+
+
+def _save_sharded_safetensors(sd, out_dir, n_shards=3,
+                              base="diffusion_pytorch_model"):
+    """Write a torch state dict as n sharded safetensors + index json —
+    the released-checkpoint layout (resume_checkpoint_yume handles the
+    index map, checkpoint.py:293-316)."""
+    from safetensors.numpy import save_file
+
+    keys = sorted(sd.keys())
+    weight_map = {}
+    shards = [dict() for _ in range(n_shards)]
+    for i, k in enumerate(keys):
+        shard = i % n_shards
+        fname = f"{base}-{shard + 1:05d}-of-{n_shards:05d}.safetensors"
+        shards[shard][k] = sd[k].detach().cpu().float().numpy()
+        weight_map[k] = fname
+    os.makedirs(out_dir, exist_ok=True)
+    for shard, tensors in enumerate(shards):
+        fname = f"{base}-{shard + 1:05d}-of-{n_shards:05d}.safetensors"
+        save_file(tensors, os.path.join(out_dir, fname))
+    with open(os.path.join(out_dir, f"{base}.safetensors.index.json"),
+              "w") as f:
+        json.dump({"metadata": {"total_size": 0}, "weight_map": weight_map},
+                  f)
+
+
+@requires_reference
+def test_sharded_index_roundtrip_golden(rng_np, tmp_path):
+    """state_dict → 3 sharded safetensors + index json → load → convert →
+    forward parity vs the torch reference that produced the shards."""
+    import jax.numpy as jnp
+
+    from test_dit_golden import TINY, _build_pair
+    from yume_tpu.utils.checkpoint import (convert_dit_state_dict,
+                                           load_safetensors_state_dict)
+
+    tmodel, ours, _ = _build_pair()
+    _save_sharded_safetensors(tmodel.state_dict(), str(tmp_path))
+
+    sd = load_safetensors_state_dict(str(tmp_path))
+    assert len(sd) == len(tmodel.state_dict())
+    params = convert_dit_state_dict(sd, TINY["num_layers"])
+
+    f, h, w = 3, 8, 8
+    x = rng_np.standard_normal((8, f, h, w)).astype(np.float32)
+    ctx = rng_np.standard_normal((16, 16)).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel([torch.from_numpy(x)], t=torch.tensor([307.0]),
+                      context=[torch.from_numpy(ctx)],
+                      seq_len=f * (h // 2) * (w // 2), flag=False)[0].numpy()
+    got = ours.apply(params, jnp.asarray(x.transpose(1, 2, 3, 0))[None],
+                     jnp.full((1, f), 307.0), jnp.asarray(ctx)[None],
+                     packed=False, attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(got)[0].transpose(3, 0, 1, 2),
+                               want, atol=2e-3, rtol=2e-3)
+
+
+@requires_reference
+def test_strict_false_wrapper_prefixes_and_missing(rng_np):
+    """FSDP wrapper prefixes are stripped; keys absent from the checkpoint
+    keep their init values; unexpected keys are ignored — the reference's
+    strict=False contract (checkpoint.py:318-333)."""
+    import jax
+    import jax.numpy as jnp
+
+    from test_dit_golden import _build_pair
+    from yume_tpu.utils.checkpoint import convert_dit_state_dict
+
+    tmodel, ours, clean = _build_pair()
+    sd = {f"module._fsdp_wrapped_module.{k}": v
+          for k, v in tmodel.state_dict().items()}
+    # drop one block's ffn (missing → init kept) and add an unexpected key
+    dropped = [k for k in sd if "blocks.1.ffn.0" in k]
+    for k in dropped:
+        del sd[k]
+    sd["module.some_legacy_buffer"] = torch.zeros(3)
+
+    x = jnp.zeros((1, 2, 8, 8, 8))
+    init = ours.init(jax.random.PRNGKey(7), x, jnp.zeros((1, 2)),
+                     jnp.zeros((1, 16, 16)), packed=False)
+    params = convert_dit_state_dict(sd, 2, init_params=init, verbose=True)
+
+    # loaded keys match the clean conversion exactly
+    np.testing.assert_array_equal(
+        params["params"]["blocks_0"]["ffn_0"]["kernel"],
+        clean["params"]["blocks_0"]["ffn_0"]["kernel"])
+    np.testing.assert_array_equal(params["params"]["head"]["modulation"],
+                                  clean["params"]["head"]["modulation"])
+    # dropped keys keep init values (NOT the checkpoint values)
+    np.testing.assert_array_equal(
+        params["params"]["blocks_1"]["ffn_0"]["kernel"],
+        np.asarray(init["params"]["blocks_1"]["ffn_0"]["kernel"]))
+    with np.testing.assert_raises(AssertionError):
+        np.testing.assert_array_equal(
+            params["params"]["blocks_1"]["ffn_0"]["kernel"],
+            clean["params"]["blocks_1"]["ffn_0"]["kernel"])
+
+
+@requires_reference
+def test_load_torch_weights_full_checkpoint_dir(rng_np, tmp_path):
+    """The released-checkpoint directory layout end to end:
+    sharded DiT safetensors + Wan2.2_VAE.pth + umT5 .pth, loaded through
+    sample.load_torch_weights into a pipeline, verified by forward parity
+    of all three modules against their torch sources."""
+    import jax.numpy as jnp
+
+    from conftest import load_reference_source
+    from test_dit_golden import TINY as DIT_TINY
+    from test_dit_golden import _build_pair
+    from test_t5 import TINY as T5_TINY
+    from test_vae import TINY as VAE_TINY
+    from test_vae import _load_reference_vae
+    from yume_tpu.configs import PipelineConfig
+    from yume_tpu.models.t5 import T5Encoder
+    from yume_tpu.models.vae import WanVAE
+    from yume_tpu.pipelines.ti2v import TI2VPipeline
+    from yume_tpu.sample import load_torch_weights
+    from yume_tpu.configs import DiTConfig
+
+    # --- build tiny torch reference models + write the checkpoint dir ---
+    tdit, our_dit, _ = _build_pair()
+    _save_sharded_safetensors(tdit.state_dict(), str(tmp_path), n_shards=2)
+
+    ref_vae = _load_reference_vae()
+    torch.manual_seed(3)
+    tvae = ref_vae.WanVAE_(
+        dim=16, dec_dim=24, z_dim=8, dim_mult=[1, 2, 4, 4], num_res_blocks=2,
+        attn_scales=[], temperal_downsample=[False, True, True]).eval()
+    torch.save(tvae.state_dict(), tmp_path / "Wan2.2_VAE.pth")
+
+    torch.cuda.current_device = lambda: "cpu"
+    ref_t5 = load_reference_source("/root/reference/wan/modules/t5.py",
+                                   strip_prefixes=("from .tokenizers",))
+    torch.manual_seed(4)
+    tt5 = ref_t5.T5Encoder(
+        vocab=T5_TINY.vocab_size, dim=T5_TINY.dim, dim_attn=T5_TINY.dim_attn,
+        dim_ffn=T5_TINY.dim_ffn, num_heads=T5_TINY.num_heads,
+        num_layers=T5_TINY.num_layers, num_buckets=T5_TINY.num_buckets,
+        shared_pos=False, dropout=0.0).eval()
+    torch.save(tt5.state_dict(), tmp_path / "models_t5_umt5-xxl-enc-bf16.pth")
+
+    # --- a pipeline whose module dims match the reference tinies ---
+    cfg = PipelineConfig(
+        name="tiny-ckpt",
+        dit=DiTConfig(**{**DIT_TINY, "framepack": True}),
+        vae=VAE_TINY, t5=T5_TINY, latent_frame_zero=2, sample_shift=5.0)
+    t5 = T5Encoder(T5_TINY, dtype=jnp.float32)
+    pipe = TI2VPipeline(
+        config=cfg, dit=our_dit, dit_params=None,
+        vae=WanVAE(VAE_TINY, dec_dim=24), vae_params=None,
+        t5=t5, t5_params=None)
+
+    load_torch_weights(pipe, str(tmp_path))
+    assert pipe.dit_params is not None
+    assert pipe.vae_params is not None
+    assert pipe.t5_params is not None
+
+    # DiT forward parity through the loaded weights
+    f, h, w = 3, 8, 8
+    x = rng_np.standard_normal((8, f, h, w)).astype(np.float32)
+    ctx = rng_np.standard_normal((16, 16)).astype(np.float32)
+    with torch.no_grad():
+        want = tdit([torch.from_numpy(x)], t=torch.tensor([123.0]),
+                    context=[torch.from_numpy(ctx)],
+                    seq_len=f * (h // 2) * (w // 2), flag=False)[0].numpy()
+    got = pipe.dit.apply(pipe.dit_params,
+                         jnp.asarray(x.transpose(1, 2, 3, 0))[None],
+                         jnp.full((1, f), 123.0), jnp.asarray(ctx)[None],
+                         packed=False, attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(got)[0].transpose(3, 0, 1, 2),
+                               want, atol=2e-3, rtol=2e-3)
+
+    # VAE decode parity through the loaded weights
+    z = rng_np.standard_normal((1, 8, 3, 4, 4)).astype(np.float32)
+    with torch.no_grad():
+        want_v = tvae.decode(torch.from_numpy(z), scale=[0.0, 1.0]).numpy()
+    got_v = pipe.vae.apply(pipe.vae_params,
+                           jnp.asarray(z.transpose(0, 2, 3, 4, 1)),
+                           method=pipe.vae.decode)
+    np.testing.assert_allclose(np.asarray(got_v).transpose(0, 4, 1, 2, 3),
+                               np.clip(want_v, -1, 1), atol=2e-4, rtol=2e-3)
+
+    # T5 parity through the loaded weights
+    ids = rng_np.integers(0, T5_TINY.vocab_size, (1, 16))
+    mask = np.ones((1, 16), np.int64)
+    with torch.no_grad():
+        want_t = tt5(torch.from_numpy(ids), torch.from_numpy(mask)).numpy()
+    got_t = pipe.t5.apply(pipe.t5_params, jnp.asarray(ids), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(got_t)[0], want_t[0],
+                               atol=3e-5, rtol=1e-4)

@@ -75,11 +75,20 @@ def test_int8_segment_matches_bf16():
     got = pipe.generate_segment(hist, ctx, steps=2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
-    # unsupported paths fail loudly, not wrongly
+    # quantized t2v (euler, unpacked trunk) now works — sub-threshold dims
+    # ⇒ exactly equals the bf16 path
+    want_t2v = None
+    video = pipe.generate_t2v(ctx, size=(32, 32), frame_num=5, steps=2)
+    assert np.isfinite(np.asarray(video)).all()
+    # quantized TeaCache composes via the delta cache
+    got_tc = pipe.generate_segment(hist, ctx, steps=2, sampler="teacache")
+    assert np.isfinite(np.asarray(got_tc)).all()
+    # unsupported paths still fail loudly, not wrongly
     import pytest
 
     with pytest.raises(NotImplementedError):
-        pipe.generate_t2v(ctx, size=(32, 32), frame_num=5, steps=2)
+        pipe.generate_t2v(ctx, size=(32, 32), frame_num=5, steps=2,
+                          solver="unipc", ctx_null=ctx)
     with pytest.raises(NotImplementedError):
         pipe.generate_segment(hist, ctx, steps=2, sampler="sde")
 

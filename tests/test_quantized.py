@@ -97,3 +97,44 @@ def test_int4_pack_roundtrip(rng_np):
     q = _quantize_leaf4(jnp.asarray(w), group=128)
     back = np.asarray(_dequantize_leaf(q, jnp.float32))
     np.testing.assert_allclose(back, w, atol=1e-6)
+
+
+def test_unpacked_quantized_matches_loop(rng_np):
+    """packed=False (t2v first segment) on the scanned trunk == the dense
+    unpacked forward (sub-quantization dims → exact)."""
+    cfg, dit, params, x, t, ctx, _ = _setup(rng_np, 64, 96, 8)
+    other, stacked = quantize_dit_blocks(params, cfg.num_layers)
+    dense = dit.apply(params, x, t, ctx, packed=False, attn_impl="xla")
+    out = int8_dit_apply(dit, other, stacked, x, t, ctx, packed=False,
+                         attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_teacache_delta_cache_exact(rng_np):
+    """full pass with return_cache, then a cached pass on the SAME input,
+    must reproduce the plain forward exactly (delta = middle-chunk x_out −
+    x_in is an identity substitution at equal inputs)."""
+    cfg, dit, params, x, t, ctx, dense = _setup(rng_np, 64, 96, 8)
+    other, stacked = quantize_dit_blocks(params, cfg.num_layers)
+    out_full, cache = int8_dit_apply(dit, other, stacked, x, t, ctx,
+                                     latent_frame_zero=2, attn_impl="xla",
+                                     return_cache=True)
+    np.testing.assert_allclose(np.asarray(out_full), np.asarray(dense),
+                               atol=1e-5, rtol=1e-5)
+    assert cache is not None and cache.ndim == 3  # [B, L, dim] token delta
+    out_cached = int8_dit_apply(dit, other, stacked, x, t, ctx,
+                                latent_frame_zero=2, attn_impl="xla",
+                                block_cache=cache)
+    # bf16 cache storage bounds the reuse error
+    np.testing.assert_allclose(np.asarray(out_cached), np.asarray(dense),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_pipelined_dequant_matches(rng_np):
+    cfg, dit, params, x, t, ctx, dense = _setup(rng_np, 64, 96, 8)
+    other, stacked = quantize_dit_blocks(params, cfg.num_layers)
+    out = int8_dit_apply(dit, other, stacked, x, t, ctx, latent_frame_zero=2,
+                         attn_impl="xla", pipelined=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
+                               atol=1e-5, rtol=1e-5)

@@ -787,6 +787,25 @@ class WanDiT(nn.Module):
                     cos=jnp.asarray(cos), sin=jnp.asarray(sin),
                     l_hist=l_hist, tail_grid=tail_grid)
 
+    def embed_unpacked(self, x, t_frame, context, clip_context=None):
+        """Unpacked (flag=False) analogue of :meth:`embed_packed`: full-res
+        tokens, per-frame timestep indices, grid RoPE — for external trunk
+        runners (quantized scan, SP)."""
+        c = self.cfg
+        b, f, h, w, _ = x.shape
+        tokens, (gf, gh, gw) = self._embed_chunk(x.astype(self.dtype), 1, False)
+        l = tokens.shape[1]
+        tokens_per_frame = gh * gw
+        idx = jnp.reshape(
+            jnp.tile(jnp.arange(f)[:, None], (1, tokens_per_frame)), (1, l))
+        idx = jnp.broadcast_to(idx, (b, l)).astype(jnp.int32)
+        cos, sin = rope_lib.grid_rope(gf, gh, gw, c.head_dim,
+                                      max_len=c.rope_max_len, theta=c.rope_theta)
+        ctx = self._context(context, clip_context)
+        return dict(tokens=tokens, t_values=t_frame, idx=idx, ctx=ctx,
+                    cos=jnp.asarray(cos), sin=jnp.asarray(sin),
+                    l_hist=0, tail_grid=(gf, gh, gw))
+
     def trunk_head(self, tokens, t_values, idx, ctx, cos, sin,
                    attn_impl=None):
         """Blocks + head over pre-embedded tokens (per-token compute only —

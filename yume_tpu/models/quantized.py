@@ -117,30 +117,103 @@ def int8_dit_apply(
     latent_frame_zero: int = 8,
     clip_context: Optional[jax.Array] = None,
     attn_impl: Optional[str] = None,
-) -> jax.Array:
-    """Packed DiT forward with the int8 trunk scanned over layers.
+    packed: bool = True,
+    block_cache: Optional[jax.Array] = None,
+    return_cache: bool = False,
+    cache_frac: float = 0.25,
+    pipelined: bool = False,
+):
+    """DiT forward with the quantized trunk scanned over layers.
 
     Numerically ≈ the bf16 forward within weight-quantization error (int8
     per-channel keeps per-matmul relative error ≲1%).
+
+    packed=False runs the unpacked (flag=False) path — t2v first segments
+    on the quantized trunk.
+
+    TeaCache composition (reference wan/modules/model.py:977-998 residual
+    caching): because cached block residuals are only ever *added back*,
+    caching the middle layers is equivalent to caching ONE tensor — the
+    middle chunk's delta x_out − x_in. ``return_cache=True`` returns
+    (out, delta) from a full pass; passing ``block_cache=delta`` skips the
+    middle ``num_layers − 2·⌊cache_frac·n⌋`` layers entirely and adds the
+    delta.
+
+    pipelined=True software-pipelines the weight dequantization: block i's
+    weights dequantize while block i−1 computes (one extra block of bf16
+    weights resident; measure HBM headroom before enabling at 14B/int4).
     """
-    emb = dit.apply(other, x, t_frame, context, latent_frame_zero,
-                    clip_context, method=dit.embed_packed)
+    emb = dit.apply(
+        other, x, t_frame, context,
+        *((latent_frame_zero, clip_context) if packed else (clip_context,)),
+        method=dit.embed_packed if packed else dit.embed_unpacked)
     mod = dit.apply(other, emb["t_values"], emb["idx"],
                     method=WanDiT._time_mod)
     block = DiTBlock(dit.cfg)
     ctx, cos, sin = emb["ctx"], emb["cos"], emb["sin"]
 
-    def body(tok, qslice):
-        p = jax.tree_util.tree_map(
+    def _dq(qslice):
+        return jax.tree_util.tree_map(
             lambda l: _dequantize_leaf(l, dit.dtype), qslice,
             is_leaf=lambda l: isinstance(l, (Q8, Q4)))
-        tok = block.apply({"params": p}, tok, mod, ctx, cos, sin, attn_impl)
-        return tok, None
 
-    out, _ = jax.lax.scan(body, emb["tokens"], stacked_q)
-    out = dit.apply(other, out, mod,
+    def gather(i):
+        # per-layer dynamic gather from the FULL stack — slicing the stack
+        # itself (tree_map(l[a:b])) makes XLA materialize copies of the
+        # multi-GiB quantized weights (OOM observed at 14B/int4 on a 16 GB
+        # chip); a dynamic index reads one layer's bytes per iteration
+        return jax.tree_util.tree_map(
+            lambda l: jax.lax.dynamic_index_in_dim(l, i, 0, keepdims=False),
+            stacked_q)
+
+    def run(tok, idx):
+        """Apply blocks ``idx[0..k)`` (a static-length index vector)."""
+        if idx.shape[0] == 0:
+            return tok
+        if not pipelined:
+            def body(tok, i):
+                p = _dq(gather(i))
+                return block.apply({"params": p}, tok, mod, ctx, cos, sin,
+                                   attn_impl), None
+
+            tok, _ = jax.lax.scan(body, tok, idx)
+            return tok
+
+        # software pipeline: dequantize slice i+1 while computing block i
+        def body(carry, i):
+            tok, w = carry
+            w_next = _dq(gather(i))
+            tok = block.apply({"params": w}, tok, mod, ctx, cos, sin,
+                              attn_impl)
+            return (tok, w_next), None
+
+        (tok, w_last), _ = jax.lax.scan(
+            body, (tok, _dq(gather(idx[0]))), idx[1:])
+        return block.apply({"params": w_last}, tok, mod, ctx, cos, sin,
+                           attn_impl)
+
+    n = dit.cfg.num_layers
+    edge = max(1, int(n * cache_frac))
+    c0, c1 = edge, n - edge
+
+    tok = emb["tokens"]
+    new_cache = None
+    if block_cache is None and not return_cache:
+        tok = run(tok, jnp.arange(n))
+    else:
+        tok = run(tok, jnp.arange(c0))
+        if block_cache is not None:
+            tok = tok + block_cache.astype(tok.dtype)
+        else:
+            tok_in = tok
+            tok = run(tok, jnp.arange(c0, c1))
+            new_cache = (tok - tok_in).astype(jnp.bfloat16)
+        tok = run(tok, jnp.arange(c1, n))
+
+    out = dit.apply(other, tok, mod,
                     method=lambda m, tok, mo: m.head(tok, mo))
-    return dit._unpatchify(out[:, emb["l_hist"]:], emb["tail_grid"])
+    out = dit._unpatchify(out[:, emb["l_hist"]:], emb["tail_grid"])
+    return (out, new_cache) if return_cache else out
 
 
 def quantized_bytes(stacked_q: Any) -> Tuple[int, int]:

@@ -326,23 +326,43 @@ class I2VPipeline:
             pad = jnp.zeros_like(latent[:, : latent.shape[1] - lfz])
             return jnp.concatenate([pad, out], axis=1)
 
-        def full(latent, t_frame, context):
-            x_in = jnp.concatenate([latent, y], axis=-1).astype(jnp.bfloat16)
-            out, cache = self.dit.apply(
-                params, x_in, t_frame, context, packed=True,
-                latent_frame_zero=lfz, clip_context=clip_ctx,
-                attn_impl=self.attn_impl, cache_list=cache_list,
-                return_cache=True)
-            return pad_v(latent, out.astype(latent.dtype)), cache
+        if isinstance(params, tuple):
+            # quantized trunk: middle-chunk delta cache (models/quantized.py)
+            from ..models.quantized import int8_dit_apply
 
-        def cached(latent, t_frame, context, cache):
-            x_in = jnp.concatenate([latent, y], axis=-1).astype(jnp.bfloat16)
-            out = self.dit.apply(
-                params, x_in, t_frame, context, packed=True,
-                latent_frame_zero=lfz, clip_context=clip_ctx,
-                attn_impl=self.attn_impl, cache_list=cache_list,
-                block_cache=cache)
-            return pad_v(latent, out.astype(latent.dtype))
+            def full(latent, t_frame, context):
+                x_in = jnp.concatenate([latent, y], axis=-1).astype(jnp.bfloat16)
+                out, cache = int8_dit_apply(
+                    self.dit, params[0], params[1], x_in, t_frame, context,
+                    latent_frame_zero=lfz, clip_context=clip_ctx,
+                    attn_impl=self.attn_impl, return_cache=True)
+                return pad_v(latent, out.astype(latent.dtype)), cache
+
+            def cached(latent, t_frame, context, cache):
+                x_in = jnp.concatenate([latent, y], axis=-1).astype(jnp.bfloat16)
+                out = int8_dit_apply(
+                    self.dit, params[0], params[1], x_in, t_frame, context,
+                    latent_frame_zero=lfz, clip_context=clip_ctx,
+                    attn_impl=self.attn_impl, block_cache=cache)
+                return pad_v(latent, out.astype(latent.dtype))
+        else:
+            def full(latent, t_frame, context):
+                x_in = jnp.concatenate([latent, y], axis=-1).astype(jnp.bfloat16)
+                out, cache = self.dit.apply(
+                    params, x_in, t_frame, context, packed=True,
+                    latent_frame_zero=lfz, clip_context=clip_ctx,
+                    attn_impl=self.attn_impl, cache_list=cache_list,
+                    return_cache=True)
+                return pad_v(latent, out.astype(latent.dtype)), cache
+
+            def cached(latent, t_frame, context, cache):
+                x_in = jnp.concatenate([latent, y], axis=-1).astype(jnp.bfloat16)
+                out = self.dit.apply(
+                    params, x_in, t_frame, context, packed=True,
+                    latent_frame_zero=lfz, clip_context=clip_ctx,
+                    attn_impl=self.attn_impl, cache_list=cache_list,
+                    block_cache=cache)
+                return pad_v(latent, out.astype(latent.dtype))
 
         clean_hist = y[..., self.config.vae.stride[0]:]
         latent0 = jnp.concatenate(
@@ -393,8 +413,6 @@ class I2VPipeline:
             jax.random.PRNGKey(seed),
             (b, f_lat, lat_h, lat_w, self.config.vae.z_dim), jnp.float32)
         if sampler == "teacache":
-            if isinstance(self.dit_params, tuple):
-                raise NotImplementedError("teacache needs the bf16 trunk")
             latents = self._sample_cfg_teacache(
                 self.dit_params, noise, y, ctx, ctx_null, clip_ctx, steps,
                 shift, guide_scale)

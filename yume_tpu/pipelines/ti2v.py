@@ -112,6 +112,13 @@ class TI2VPipeline:
         sig = sampling_sigmas(steps, shift)
 
         def denoise(latent, t_frame):
+            if isinstance(params, tuple):  # quantized trunk, unpacked mode
+                from ..models.quantized import int8_dit_apply
+
+                return int8_dit_apply(
+                    self.dit, params[0], params[1],
+                    latent.astype(jnp.bfloat16), t_frame, ctx, packed=False,
+                    attn_impl=self.attn_impl).astype(latent.dtype)
             return self.dit.apply(
                 params, latent.astype(jnp.bfloat16), t_frame, ctx,
                 packed=False, attn_impl=self.attn_impl,
@@ -220,19 +227,41 @@ class TI2VPipeline:
             pad = jnp.zeros_like(lat[:, : lat.shape[1] - lfz])
             return jnp.concatenate([pad, out], axis=1)
 
-        def full(lat, t_frame):
-            out, cache = self.dit.apply(
-                params, lat.astype(jnp.bfloat16), t_frame, ctx, packed=True,
-                latent_frame_zero=lfz, attn_impl=self.attn_impl,
-                cache_list=cache_list, return_cache=True)
-            return pad_v(lat, out.astype(lat.dtype)), cache
+        if isinstance(params, tuple):
+            # quantized trunk: the delta-cache form (middle-chunk x_out−x_in
+            # as ONE tensor — equivalent to per-block residuals since they
+            # are only ever added back)
+            from ..models.quantized import int8_dit_apply
 
-        def cached(lat, t_frame, cache):
-            out = self.dit.apply(
-                params, lat.astype(jnp.bfloat16), t_frame, ctx, packed=True,
-                latent_frame_zero=lfz, attn_impl=self.attn_impl,
-                cache_list=cache_list, block_cache=cache)
-            return pad_v(lat, out.astype(lat.dtype))
+            def full(lat, t_frame):
+                out, cache = int8_dit_apply(
+                    self.dit, params[0], params[1],
+                    lat.astype(jnp.bfloat16), t_frame, ctx,
+                    latent_frame_zero=lfz, attn_impl=self.attn_impl,
+                    return_cache=True)
+                return pad_v(lat, out.astype(lat.dtype)), cache
+
+            def cached(lat, t_frame, cache):
+                out = int8_dit_apply(
+                    self.dit, params[0], params[1],
+                    lat.astype(jnp.bfloat16), t_frame, ctx,
+                    latent_frame_zero=lfz, attn_impl=self.attn_impl,
+                    block_cache=cache)
+                return pad_v(lat, out.astype(lat.dtype))
+        else:
+            def full(lat, t_frame):
+                out, cache = self.dit.apply(
+                    params, lat.astype(jnp.bfloat16), t_frame, ctx, packed=True,
+                    latent_frame_zero=lfz, attn_impl=self.attn_impl,
+                    cache_list=cache_list, return_cache=True)
+                return pad_v(lat, out.astype(lat.dtype)), cache
+
+            def cached(lat, t_frame, cache):
+                out = self.dit.apply(
+                    params, lat.astype(jnp.bfloat16), t_frame, ctx, packed=True,
+                    latent_frame_zero=lfz, attn_impl=self.attn_impl,
+                    cache_list=cache_list, block_cache=cache)
+                return pad_v(lat, out.astype(lat.dtype))
 
         return samplers.euler_sample_segment_cached(
             full, cached, latent, sig, lfz, cache_interval=cache_interval,
@@ -367,10 +396,10 @@ class TI2VPipeline:
             jax.random.PRNGKey(seed),
             (ctx.shape[0], f_lat, h_lat, w_lat, cfgv.z_dim), jnp.float32,
         )
-        if isinstance(self.dit_params, tuple):
+        if isinstance(self.dit_params, tuple) and solver != "euler":
             raise NotImplementedError(
-                "int8 trunk supports packed segments only; run the unpacked "
-                "t2v first segment before quantize_int8()")
+                "quantized t2v supports the euler solver; multistep solvers "
+                "need the bf16 trunk")
         if solver == "euler":
             latent = self._sample_t2v(self.dit_params, noise, ctx, None,
                                       steps, shift)
@@ -406,9 +435,10 @@ class TI2VPipeline:
         )
         latent = jnp.concatenate([history_latents, noise], axis=1)
         history_t = jnp.zeros((b, f_hist), jnp.float32)
-        if isinstance(self.dit_params, tuple) and sampler != "euler":
+        if isinstance(self.dit_params, tuple) and sampler not in ("euler",
+                                                                  "teacache"):
             raise NotImplementedError(
-                f"int8 trunk supports the 'euler' sampler only, got {sampler!r}")
+                f"int8 trunk supports euler/teacache samplers, got {sampler!r}")
         if sampler == "euler":
             return self._sample_segment(self.dit_params, latent, ctx, history_t,
                                         steps, shift, lfz, progress_cb)

@@ -117,7 +117,8 @@ def load_torch_weights(pipe, ckpt_dir: str, *, load_dit: bool = True):
     vae_path = os.path.join(ckpt_dir, "Wan2.2_VAE.pth")
     if os.path.exists(vae_path):
         pipe.vae_params = convert_vae22_state_dict(
-            torch.load(vae_path, map_location="cpu"))
+            torch.load(vae_path, map_location="cpu"),
+            num_res_blocks=pipe.config.vae.num_res_blocks)
     t5_path = os.path.join(ckpt_dir, "models_t5_umt5-xxl-enc-bf16.pth")
     if os.path.exists(t5_path):
         pipe.t5_params = convert_t5_state_dict(
@@ -136,9 +137,11 @@ def main(argv=None):
     from .utils.video import load_image, save_video
 
     cfg, pipe = load_pipeline(args)
-    # --int8 with --t2v defers quantization until after the unpacked first
-    # segment (the int8 trunk runs packed segments only)
-    if (args.int8 or args.int4) and not args.t2v:
+    # the quantized trunk runs packed segments AND unpacked euler t2v;
+    # only multistep-solver t2v still needs the bf16 trunk (quantized after
+    # its first segment)
+    if (args.int8 or args.int4) and not (
+            args.t2v and args.sample_solver != "euler"):
         pipe.quantize_int8(bits=4 if args.int4 else 8)
     tok = Tokenizer(args.tokenizer, seq_len=cfg.t5.text_len,
                     vocab_size=cfg.t5.vocab_size)
@@ -156,7 +159,8 @@ def main(argv=None):
 
     captions = [args.prompt]
     if args.caption_file:
-        captions = [l.strip() for l in open(args.caption_file) if l.strip()]
+        captions = ([l.strip() for l in open(args.caption_file) if l.strip()]
+                    or [args.prompt])
     if args.refine_prompt:
         from .data.prompt_refine import get_refiner
 

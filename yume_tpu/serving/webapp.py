@@ -187,11 +187,9 @@ def _generate(req, args):
         STATE["progress"] = (f"segment {s['segment'] + 1}/{s['segments']} "
                              f"step {s['i']}/{s['n']} σ={float(sigma):.3f}")
 
-    if (mode in ("continue_from_last", "i2v")
-            and STATE.get("quant_bits")
-            and not isinstance(pipe.dit_params, tuple)):
-        # packed-segment modes run on the quantized trunk; t2v keeps bf16
-        # until the user stops requesting it (generate_t2v raises otherwise)
+    if STATE.get("quant_bits") and not isinstance(pipe.dit_params, tuple):
+        # every webapp mode runs on the quantized trunk (packed segments and
+        # unpacked euler t2v both supported by models/quantized.py)
         pipe.quantize_int8(bits=STATE["quant_bits"])
 
     def decode(tail):

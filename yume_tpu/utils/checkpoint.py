@@ -58,6 +58,63 @@ def set_in(tree: Dict, path: str, value: np.ndarray):
     node[keys[-1]] = value
 
 
+_WRAPPER_SEGMENTS = frozenset(
+    ("module", "_fsdp_wrapped_module", "_checkpoint_wrapped_module",
+     "_orig_mod"))
+
+
+def normalize_torch_keys(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Drop FSDP/compile wrapper segments anywhere in the key path.
+
+    The reference loads released checkpoints with ``strict=False`` after
+    they were saved through FSDP FULL_STATE_DICT / activation-checkpoint
+    wrappers (fastvideo/utils/checkpoint.py:285-337); wrapper segments like
+    ``module.`` / ``_fsdp_wrapped_module.`` must not defeat key matching.
+    (Whole segments, not substrings — ``module`` is a substring of
+    ``_fsdp_wrapped_module``.)
+    """
+    out = {}
+    for k, v in sd.items():
+        out[".".join(s for s in k.split(".")
+                     if s not in _WRAPPER_SEGMENTS)] = v
+    return out
+
+
+class _TrackedSD(Mapping):
+    """Read-tracking view of a torch state dict, for strict=False loading
+    with missing/unexpected-key reporting (≙ resume_checkpoint_yume's
+    ``m, u = model.load_state_dict(..., strict=False)`` report,
+    fastvideo/utils/checkpoint.py:318-333)."""
+
+    def __init__(self, sd: Mapping[str, Any], tolerant: bool):
+        self.sd = sd
+        self.tolerant = tolerant
+        self.consumed: set = set()
+        self.missing: list = []
+
+    def __getitem__(self, k):
+        if k not in self.sd:
+            self.missing.append(k)
+            raise KeyError(k)
+        self.consumed.add(k)
+        return self.sd[k]
+
+    def __contains__(self, k):
+        ok = k in self.sd
+        if ok:
+            self.consumed.add(k)
+        return ok
+
+    def __iter__(self):
+        return iter(self.sd)
+
+    def __len__(self):
+        return len(self.sd)
+
+    def unexpected(self):
+        return sorted(set(self.sd) - self.consumed)
+
+
 # ---------------------------------------------------------------------------
 # VAE (Wan2.2) torch → flax
 # ---------------------------------------------------------------------------
@@ -220,20 +277,43 @@ def convert_vae21_state_dict(sd: Mapping[str, Any], num_res_blocks: int = 2,
 # ---------------------------------------------------------------------------
 
 
-def convert_dit_state_dict(sd: Mapping[str, Any], num_layers: int) -> Dict:
+def convert_dit_state_dict(sd: Mapping[str, Any], num_layers: int,
+                           init_params: Dict | None = None,
+                           verbose: bool = False) -> Dict:
     """Map a reference WanModel state_dict (wan23/modules/model.py naming,
     sharded-safetensors layout loaded by `resume_checkpoint_yume`) onto
-    yume_tpu.models.dit.WanDiT params."""
-    params: Dict = {}
+    yume_tpu.models.dit.WanDiT params.
 
+    With ``init_params`` (a freshly-initialized ``{"params": ...}`` tree)
+    the load is strict=False like the reference (fastvideo/utils/
+    checkpoint.py:318-333): checkpoint keys overwrite init values, keys the
+    checkpoint lacks keep their init values, and missing/unexpected keys
+    are reported when ``verbose``. Without it, a missing key raises.
+    """
+    sd = _TrackedSD(normalize_torch_keys(sd), tolerant=init_params is not None)
+    params: Dict = (jax.tree_util.tree_map(np.asarray, init_params["params"])
+                    if init_params is not None else {})
+
+    def _tol(fn):
+        def wrapped(src: str, dst: str):
+            try:
+                fn(src, dst)
+            except KeyError:
+                if not sd.tolerant:
+                    raise
+        return wrapped
+
+    @_tol
     def dense(src: str, dst: str):
         set_in(params, f"{dst}/kernel", dense_kernel(sd[f"{src}.weight"]))
         if f"{src}.bias" in sd:
             set_in(params, f"{dst}/bias", _t(sd[f"{src}.bias"]))
 
+    @_tol
     def rms(src: str, dst: str):
         set_in(params, f"{dst}/weight", _t(sd[f"{src}.weight"]))
 
+    @_tol
     def conv(src: str, dst: str):
         set_in(params, f"{dst}/kernel", conv3d_kernel(sd[f"{src}.weight"]))
         set_in(params, f"{dst}/bias", _t(sd[f"{src}.bias"]))
@@ -256,8 +336,15 @@ def convert_dit_state_dict(sd: Mapping[str, Any], num_layers: int) -> Dict:
         set_in(params, "img_emb_norm4/scale", _t(sd["img_emb.proj.4.weight"]))
         set_in(params, "img_emb_norm4/bias", _t(sd["img_emb.proj.4.bias"]))
 
+    def leaf(dst: str, src_key: str):
+        try:
+            set_in(params, dst, _t(sd[src_key]))
+        except KeyError:
+            if not sd.tolerant:
+                raise
+
     def block(src: str, dst: str):
-        set_in(params, f"{dst}/modulation", _t(sd[f"{src}.modulation"]))
+        leaf(f"{dst}/modulation", f"{src}.modulation")
         for a in ("q", "k", "v", "o"):
             dense(f"{src}.self_attn.{a}", f"{dst}/self_attn/{a}")
         rms(f"{src}.self_attn.norm_q", f"{dst}/self_attn/norm_q")
@@ -272,8 +359,8 @@ def convert_dit_state_dict(sd: Mapping[str, Any], num_layers: int) -> Dict:
         if f"{src}.cross_attn.norm_k_img.weight" in sd:
             rms(f"{src}.cross_attn.norm_k_img", f"{dst}/cross_attn/norm_k_img")
         if f"{src}.norm3.weight" in sd:
-            set_in(params, f"{dst}/norm3/weight", _t(sd[f"{src}.norm3.weight"]))
-            set_in(params, f"{dst}/norm3/bias", _t(sd[f"{src}.norm3.bias"]))
+            leaf(f"{dst}/norm3/weight", f"{src}.norm3.weight")
+            leaf(f"{dst}/norm3/bias", f"{src}.norm3.bias")
         dense(f"{src}.ffn.0", f"{dst}/ffn_0")
         dense(f"{src}.ffn.2", f"{dst}/ffn_2")
 
@@ -284,9 +371,18 @@ def convert_dit_state_dict(sd: Mapping[str, Any], num_layers: int) -> Dict:
     if "mask_token" in sd:
         set_in(params, "mask_token", _t(sd["mask_token"]))
 
-    set_in(params, "head/modulation", _t(sd["head.modulation"]))
+    leaf("head/modulation", "head.modulation")
     dense("head.head", "head/head")
 
+    if verbose:
+        unexpected = sd.unexpected()
+        print(f"[checkpoint] DiT load: {len(sd.consumed)} tensors consumed, "
+              f"{len(sd.missing)} missing (kept init), "
+              f"{len(unexpected)} unexpected (ignored)")
+        for k in sd.missing[:20]:
+            print(f"[checkpoint]   missing: {k}")
+        for k in unexpected[:20]:
+            print(f"[checkpoint]   unexpected: {k}")
     return {"params": params}
 
 
