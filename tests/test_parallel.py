@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from yume_tpu.ops.attention import xla_attention
 from yume_tpu.parallel.mesh import make_mesh, shard_params

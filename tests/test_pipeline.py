@@ -1,7 +1,5 @@
 """End-to-end TI2V pipeline smoke tests (tiny shapes, random weights)."""
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np

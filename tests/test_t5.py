@@ -1,9 +1,5 @@
 """umT5 encoder parity against the torch reference (random weights)."""
 
-import importlib.util
-import sys
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 

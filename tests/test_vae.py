@@ -12,7 +12,6 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from conftest import requires_reference
 from yume_tpu.configs import VAEConfig

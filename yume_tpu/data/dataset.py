@@ -25,7 +25,8 @@ from typing import Dict, Iterator, List, Optional, Tuple
 import numpy as np
 
 from .camera import metrics_caption, metrics_in_range
-from .controls import BASE_CAPTION, control_caption, parse_control_txt
+from .controls import (BASE_CAPTION,  # noqa: re-exported for callers
+                       control_caption, parse_control_txt)
 
 
 def read_video_frames(

@@ -59,7 +59,8 @@ def unipc_sigmas(sampling_steps: int, shift: float,
     return np.concatenate([sigma, [0.0]]).astype(np.float32)
 
 
-def lin_mu(seq_len: int, x1: float = 256, y1: float = 0.5, x2: float = 4096, y2: float = 1.15) -> float:
+def lin_mu(seq_len: int, x1: float = 256, y1: float = 0.5,
+           x2: float = 4096, y2: float = 1.15) -> float:
     """Resolution-dependent shift exponent (reference transport.py:52-57)."""
     m = (y2 - y1) / (x2 - x1)
     b = y1 - m * x1

@@ -42,7 +42,6 @@ import flax.linen as nn
 import flax.struct
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..configs import DiTConfig
 from ..ops import rope as rope_lib
@@ -302,7 +301,7 @@ class Head(nn.Module):
 class PackChunk:
     start: int       # history frame range [start, stop)
     stop: int
-    scale: int       # spatial compression: patch stride = patch*2*scale//2 ... (1,2,4,8,16 → conv 2s)
+    scale: int       # spatial compression (1,2,4,8,16 → conv stride 2s)
     double_f: bool = False  # bucket-6 extra 2x_f pre-conv (reference model.py:696-698)
 
 

@@ -29,7 +29,7 @@ Layout: channels-last [B, T, H, W, C].
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -228,7 +228,8 @@ def _bwd(scale, block_q, block_kv, res, g):
     bkv = min(block_kv, lk)
     q_blocks, kv_blocks = _cdiv(lq, bq), _cdiv(lk, bkv)
 
-    delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)[:, None, :]  # [BN, 1, Lq]
+    delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),
+                    axis=-1)[:, None, :]  # [BN, 1, Lq]
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, block_kv=bkv, kv_blocks=kv_blocks),

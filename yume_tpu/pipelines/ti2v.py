@@ -16,7 +16,6 @@ from typing import Any, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..configs import PipelineConfig
 from ..diffusion import samplers

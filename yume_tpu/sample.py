@@ -63,6 +63,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="refine prompts (local HF model via --refiner_model, "
                         "template fallback otherwise)")
     p.add_argument("--refiner_model", default=None)
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace of the run (xprof/"
+                        "tensorboard logdir) + per-phase timing table")
     return p
 
 
@@ -134,7 +137,6 @@ def main(argv=None):
     enable_compilation_cache()
 
     from .data.tokenizer import Tokenizer
-    from .utils.video import load_image, save_video
 
     cfg, pipe = load_pipeline(args)
     # the quantized trunk runs packed segments AND unpacked euler t2v;
@@ -146,9 +148,12 @@ def main(argv=None):
     tok = Tokenizer(args.tokenizer, seq_len=cfg.t5.text_len,
                     vocab_size=cfg.t5.vocab_size)
 
+    from .utils.logging_ import phase
+
     def encode(text):
-        ids, mask = tok([text])
-        return pipe.encode_text(jnp.asarray(ids), jnp.asarray(mask))
+        with phase("t5_encode"):
+            ids, mask = tok([text])
+            return pipe.encode_text(jnp.asarray(ids), jnp.asarray(mask))
 
     if args.smoke:
         size, frame_num, steps = (32, 32), 5, 2
@@ -171,7 +176,24 @@ def main(argv=None):
                "time_travel" if args.time_travel else
                "teacache" if args.teacache else "euler")
 
+    import contextlib
+
+    from .utils.logging_ import phase_summary, profile
+
+    with contextlib.ExitStack() as _prof:
+        if args.profile_dir:
+            _prof.enter_context(profile(args.profile_dir))
+        rc = _run(args, cfg, pipe, encode, captions, sampler,
+                  size, frame_num, steps)
+    if args.profile_dir:
+        phase_summary()
+    return rc
+
+
+def _run(args, cfg, pipe, encode, captions, sampler, size, frame_num, steps):
     from .pipelines.i2v import I2VPipeline
+    from .utils.logging_ import phase
+    from .utils.video import load_image, save_video
 
     t0 = time.time()
     if isinstance(pipe, I2VPipeline):
@@ -184,20 +206,22 @@ def main(argv=None):
                    if f.lower().endswith((".jpg", ".png", ".jpeg")))[0],
             size=(size[1], size[0]),
         )
-        latents, video = pipe.generate(
-            jnp.asarray(img)[None, None], ctx, ctx_null, frame_num=frame_num,
-            steps=steps, shift=args.shift, guide_scale=args.guide_scale,
-            seed=args.seed, sampler=sampler)
+        with phase("generate"):
+            latents, video = pipe.generate(
+                jnp.asarray(img)[None, None], ctx, ctx_null,
+                frame_num=frame_num, steps=steps, shift=args.shift,
+                guide_scale=args.guide_scale, seed=args.seed, sampler=sampler)
         save_video(np.asarray(video[0]),
                    os.path.join(args.output_dir, "segment_000.mp4"),
                    fps=cfg.sample_fps)
         for s_idx in range(1, args.sample_num):
             cap = captions[min(s_idx, len(captions) - 1)]
             ctx = encode(cap)
-            latents, video = pipe.generate_next(
-                video, ctx, ctx_null, frame_zero=32, steps=steps,
-                shift=args.shift, guide_scale=args.guide_scale,
-                seed=args.seed + s_idx)
+            with phase("generate_next"):
+                latents, video = pipe.generate_next(
+                    video, ctx, ctx_null, frame_zero=32, steps=steps,
+                    shift=args.shift, guide_scale=args.guide_scale,
+                    seed=args.seed + s_idx)
             save_video(np.asarray(video[0, -32:]),
                        os.path.join(args.output_dir, f"segment_{s_idx:03d}.mp4"),
                        fps=cfg.sample_fps)
@@ -206,15 +230,17 @@ def main(argv=None):
 
     if args.t2v or args.jpg_dir is None:
         ctx = encode(captions[0])
-        video = pipe.generate_t2v(
-            ctx, size=size if not args.smoke else (32, 32),
-            frame_num=frame_num, steps=steps, shift=args.shift,
-            seed=args.seed, solver=args.sample_solver,
-            ctx_null=encode(args.neg_prompt or cfg.sample_neg_prompt)
-            if args.sample_solver != "euler" else None,
-            guide_scale=args.guide_scale,
-        )
-        first_latents = pipe.encode_auto(video)
+        with phase("generate"):
+            video = pipe.generate_t2v(
+                ctx, size=size if not args.smoke else (32, 32),
+                frame_num=frame_num, steps=steps, shift=args.shift,
+                seed=args.seed, solver=args.sample_solver,
+                ctx_null=encode(args.neg_prompt or cfg.sample_neg_prompt)
+                if args.sample_solver != "euler" else None,
+                guide_scale=args.guide_scale,
+            )
+        with phase("vae_encode"):
+            first_latents = pipe.encode_auto(video)
         if args.int8 or args.int4:
             pipe.quantize_int8(bits=4 if args.int4 else 8)
     else:
@@ -228,11 +254,13 @@ def main(argv=None):
         frames = jnp.asarray(np.repeat(img[None], min(16, frame_num), 0))[None]
         first_latents, _ = pipe.encode_image_conditioning(frames, frame_num)
         ctx = encode(captions[0])
-        first_latents = pipe.generate_segment(
-            first_latents[:, : -cfg.latent_frame_zero], ctx,
-            steps=steps, shift=args.shift or cfg.sample_shift, seed=args.seed,
-            sampler=sampler)
-        video = pipe.decode_auto(first_latents)
+        with phase("generate"):
+            first_latents = pipe.generate_segment(
+                first_latents[:, : -cfg.latent_frame_zero], ctx,
+                steps=steps, shift=args.shift or cfg.sample_shift,
+                seed=args.seed, sampler=sampler)
+        with phase("vae_decode"):
+            video = pipe.decode_auto(first_latents)
 
     out0 = os.path.join(args.output_dir, "segment_000.mp4")
     save_video(np.asarray(video[0]), out0, fps=cfg.sample_fps)
@@ -245,10 +273,12 @@ def main(argv=None):
         cap = captions[min(s, len(captions) - 1)]
         ctx = encode(cap)
         t1 = time.time()
-        latents = pipe.generate_segment(
-            latents, ctx, steps=steps, shift=args.shift or 7.0,
-            seed=args.seed + s, sampler=sampler)
-        tail_video = pipe.decode_auto(latents[:, -cfg.latent_frame_zero:])
+        with phase("generate"):
+            latents = pipe.generate_segment(
+                latents, ctx, steps=steps, shift=args.shift or 7.0,
+                seed=args.seed + s, sampler=sampler)
+        with phase("vae_decode"):
+            tail_video = pipe.decode_auto(latents[:, -cfg.latent_frame_zero:])
         out = os.path.join(args.output_dir, f"segment_{s:03d}.mp4")
         save_video(np.asarray(tail_video[0]), out, fps=cfg.sample_fps)
         print(f"--> Function running time: {time.time() - t1:.4f} s ({out})")

@@ -54,6 +54,11 @@ def build_argparser():
                    help="activation checkpointing per DiT block")
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace over the step window "
+                        "given by --profile_steps (xprof/tensorboard logdir)")
+    p.add_argument("--profile_steps", default="2,5",
+                   help="start,stop step bounds for --profile_dir capture")
     return p
 
 
@@ -257,23 +262,37 @@ def main(argv=None):
         except Exception as e:
             main_print(f"resume failed: {e}")
 
+    from .utils.logging_ import phase, step_annotation
+
+    prof_lo, prof_hi = (int(s) for s in args.profile_steps.split(","))
+    tracing = False
     times = []
     for step in range(start_step, args.max_train_steps):
+        if args.profile_dir and step == prof_lo:
+            os.makedirs(args.profile_dir, exist_ok=True)
+            jax.profiler.start_trace(args.profile_dir)
+            tracing = True
         t_start = time.time()
-        batch = get_batch(step)
+        with phase("get_batch"):
+            batch = get_batch(step)
         step_rng = jax.random.fold_in(rng, step)
-        if args.Distil:
-            state, disc_state, metrics = step_fn(state, disc_state, batch,
-                                                 step_rng)
-            loss = float(metrics["loss"])
-            loss_str = (f"loss={loss:.4f} "
-                        f"gan_loss={float(metrics['gan_loss']):.4f} "
-                        f"d_loss={float(metrics['d_loss']):.4f}")
-        else:
-            state, metrics = step_fn(state, batch, step_rng)
-            loss = float(metrics["loss"])
-            loss_str = f"loss={loss:.4f}"
+        with step_annotation(step), phase("train_step"):
+            if args.Distil:
+                state, disc_state, metrics = step_fn(state, disc_state, batch,
+                                                     step_rng)
+                loss = float(metrics["loss"])
+                loss_str = (f"loss={loss:.4f} "
+                            f"gan_loss={float(metrics['gan_loss']):.4f} "
+                            f"d_loss={float(metrics['d_loss']):.4f}")
+            else:
+                state, metrics = step_fn(state, batch, step_rng)
+                loss = float(metrics["loss"])
+                loss_str = f"loss={loss:.4f}"
         times.append(time.time() - t_start)
+        if tracing and step == prof_hi:
+            jax.profiler.stop_trace()
+            tracing = False
+            main_print(f"trace written to {args.profile_dir}")
         main_print(f"step {step + 1}/{args.max_train_steps} {loss_str} "
                    f"grad_norm={float(metrics['grad_norm']):.3f} "
                    f"step_time={np.mean(times[-100:]):.2f}s")
@@ -286,6 +305,13 @@ def main(argv=None):
             _validation_rollout(args, dit, state, batch, lfz, step + 1,
                                 pipe=pipe)
 
+    if tracing:
+        jax.profiler.stop_trace()
+        main_print(f"trace written to {args.profile_dir}")
+    if args.profile_dir:
+        from .utils.logging_ import phase_summary
+
+        phase_summary()
     if loader is not None:
         loader.close()
     return 0

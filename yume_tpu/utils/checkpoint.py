@@ -10,11 +10,9 @@ state_dicts (safetensors / .pth) onto our flax parameter pytrees
 from __future__ import annotations
 
 import os
-import re
-from typing import Any, Callable, Dict, Mapping
+from typing import Any, Dict, Mapping
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 
@@ -133,7 +131,8 @@ def convert_vae22_state_dict(sd: Mapping[str, Any], num_res_blocks: int = 2) -> 
         set_in(params, f"{dst}/conv2/conv/kernel", conv3d_kernel(sd[f"{src}.residual.6.weight"]))
         set_in(params, f"{dst}/conv2/conv/bias", _t(sd[f"{src}.residual.6.bias"]))
         if f"{src}.shortcut.weight" in sd:
-            set_in(params, f"{dst}/shortcut/conv/kernel", conv3d_kernel(sd[f"{src}.shortcut.weight"]))
+            set_in(params, f"{dst}/shortcut/conv/kernel",
+                   conv3d_kernel(sd[f"{src}.shortcut.weight"]))
             set_in(params, f"{dst}/shortcut/conv/bias", _t(sd[f"{src}.shortcut.bias"]))
 
     def attn(src: str, dst: str):
@@ -213,7 +212,8 @@ def convert_vae21_state_dict(sd: Mapping[str, Any], num_res_blocks: int = 2,
         set_in(params, f"{dst}/conv2/conv/kernel", conv3d_kernel(sd[f"{src}.residual.6.weight"]))
         set_in(params, f"{dst}/conv2/conv/bias", _t(sd[f"{src}.residual.6.bias"]))
         if f"{src}.shortcut.weight" in sd:
-            set_in(params, f"{dst}/shortcut/conv/kernel", conv3d_kernel(sd[f"{src}.shortcut.weight"]))
+            set_in(params, f"{dst}/shortcut/conv/kernel",
+                   conv3d_kernel(sd[f"{src}.shortcut.weight"]))
             set_in(params, f"{dst}/shortcut/conv/bias", _t(sd[f"{src}.shortcut.bias"]))
 
     def attn(src: str, dst: str):
@@ -228,7 +228,8 @@ def convert_vae21_state_dict(sd: Mapping[str, Any], num_res_blocks: int = 2,
         set_in(params, f"{dst}/conv/bias", _t(sd[f"{src}.bias"]))
 
     def resample(src: str, dst: str):
-        set_in(params, f"{dst}/conv_spatial/kernel", conv2d_as_3d_kernel(sd[f"{src}.resample.1.weight"]))
+        set_in(params, f"{dst}/conv_spatial/kernel",
+               conv2d_as_3d_kernel(sd[f"{src}.resample.1.weight"]))
         set_in(params, f"{dst}/conv_spatial/bias", _t(sd[f"{src}.resample.1.bias"]))
         if f"{src}.time_conv.weight" in sd:
             set_in(params, f"{dst}/time_conv/kernel", conv3d_kernel(sd[f"{src}.time_conv.weight"]))

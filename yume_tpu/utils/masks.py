@@ -7,7 +7,6 @@ JAX equivalents of reference wan23/utils/utils.py:106-159 (`masks_like`,
 
 from __future__ import annotations
 
-import math
 from typing import Tuple
 
 import jax
