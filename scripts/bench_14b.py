@@ -43,8 +43,10 @@ def main():
 
     cfg = i2v_14b()
     dit = WanDiT(cfg.dit, dtype=jnp.bfloat16)
-    lfz = cfg.latent_frame_zero  # 9
-    f_hist, h_lat, w_lat = 9, 68, 120  # 544×960 / 8
+    # r1-baseline geometry (scripts/bench_14b_int8.py): 33 pixel frames →
+    # 9 latent frames total at 544×960 (f_lat=9, tail lfz=8, history 1)
+    lfz = min(cfg.latent_frame_zero, 8)
+    f_hist, h_lat, w_lat = 1, 68, 120  # 544×960 / 8
     in_dim = cfg.dit.in_dim
 
     x = jax.random.normal(jax.random.PRNGKey(1),
