@@ -122,6 +122,16 @@ def main():
         results["dit_fwd_s_full_with_cache"] = timeit(f_full, other, stacked)
         results["dit_fwd_s_cached"] = timeit(f_cached, other, stacked, cache)
 
+    if "w8a8" in variants:
+        import dataclasses
+
+        dit_q = WanDiT(dataclasses.replace(cfg.dit, w8a8=True),
+                       dtype=jnp.bfloat16)
+        f = jax.jit(lambda o, s: int8_dit_apply(
+            dit_q, o, s, x, t, ctx, latent_frame_zero=lfz,
+            clip_context=clip_ctx))
+        results["dit_fwd_s_w8a8"] = timeit(f, other, stacked)
+
     if "unpacked" in variants:
         xt = x[:, -lfz:]
         tt = t[:, -lfz:]

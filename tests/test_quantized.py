@@ -138,3 +138,20 @@ def test_pipelined_dequant_matches(rng_np):
                          attn_impl="xla", pipelined=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_pipelined_composes_with_delta_cache(rng_np):
+    """pipelined dequant and the TeaCache delta path share the single-scan
+    body (counter-gated inject/capture) — the composition must stay exact."""
+    cfg, dit, params, x, t, ctx, dense = _setup(rng_np, 64, 96, 8)
+    other, stacked = quantize_dit_blocks(params, cfg.num_layers)
+    out_full, cache = int8_dit_apply(dit, other, stacked, x, t, ctx,
+                                     latent_frame_zero=2, attn_impl="xla",
+                                     return_cache=True, pipelined=True)
+    np.testing.assert_allclose(np.asarray(out_full), np.asarray(dense),
+                               atol=1e-5, rtol=1e-5)
+    out_cached = int8_dit_apply(dit, other, stacked, x, t, ctx,
+                                latent_frame_zero=2, attn_impl="xla",
+                                block_cache=cache, pipelined=True)
+    np.testing.assert_allclose(np.asarray(out_cached), np.asarray(dense),
+                               atol=2e-2, rtol=2e-2)

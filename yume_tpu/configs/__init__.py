@@ -46,6 +46,9 @@ class DiTConfig:
     # RoPE table length (reference wan23/modules/model.py:475: rope_params(1024, ...))
     rope_max_len: int = 1024
     rope_theta: float = 10000.0
+    # W8A8: run the big block matmuls as int8×int8 on the MXU (2× bf16
+    # peak on v5e; beyond-reference — ops/quant_matmul.py)
+    w8a8: bool = False
 
     @property
     def head_dim(self) -> int:

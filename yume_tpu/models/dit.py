@@ -143,6 +143,15 @@ class Modulation:
 # ---------------------------------------------------------------------------
 
 
+def _dg(cfg: DiTConfig):
+    """dot_general for the big block matmuls: int8 MXU when cfg.w8a8."""
+    if not cfg.w8a8:
+        return None
+    from ..ops.quant_matmul import int8_dot_general
+
+    return int8_dot_general
+
+
 class SelfAttention(nn.Module):
     cfg: DiTConfig
 
@@ -151,9 +160,10 @@ class SelfAttention(nn.Module):
         c = self.cfg
         b, l, _ = x.shape
         n, d = c.num_heads, c.head_dim
-        q = nn.Dense(c.dim, name="q", dtype=x.dtype)(x)
-        k = nn.Dense(c.dim, name="k", dtype=x.dtype)(x)
-        v = nn.Dense(c.dim, name="v", dtype=x.dtype)(x)
+        dg = _dg(c)
+        q = nn.Dense(c.dim, name="q", dtype=x.dtype, dot_general=dg)(x)
+        k = nn.Dense(c.dim, name="k", dtype=x.dtype, dot_general=dg)(x)
+        v = nn.Dense(c.dim, name="v", dtype=x.dtype, dot_general=dg)(x)
         if c.qk_norm:
             q = RMSNorm(c.dim, c.eps, name="norm_q")(q)
             k = RMSNorm(c.dim, c.eps, name="norm_k")(k)
@@ -163,7 +173,8 @@ class SelfAttention(nn.Module):
         q = rope_lib.apply_rope(q, rope_cos, rope_sin)
         k = rope_lib.apply_rope(k, rope_cos, rope_sin)
         o = attention(q, k, v, impl=attn_impl)
-        return nn.Dense(c.dim, name="o", dtype=x.dtype)(o.reshape(b, l, c.dim))
+        return nn.Dense(c.dim, name="o", dtype=x.dtype,
+                        dot_general=dg)(o.reshape(b, l, c.dim))
 
 
 class CrossAttention(nn.Module):
@@ -177,7 +188,9 @@ class CrossAttention(nn.Module):
         c = self.cfg
         b, l, _ = x.shape
         n, d = c.num_heads, c.head_dim
-        q = nn.Dense(c.dim, name="q", dtype=x.dtype)(x)
+        dg = _dg(c)
+        # context-side k/v stay exact (negligible FLOPs at 512 tokens)
+        q = nn.Dense(c.dim, name="q", dtype=x.dtype, dot_general=dg)(x)
         k = nn.Dense(c.dim, name="k", dtype=x.dtype)(context)
         v = nn.Dense(c.dim, name="v", dtype=x.dtype)(context)
         if c.qk_norm:
@@ -187,7 +200,8 @@ class CrossAttention(nn.Module):
         k = k.reshape(b, -1, n, d)
         v = v.reshape(b, -1, n, d)
         o = attention(q, k, v, impl=attn_impl)
-        return nn.Dense(c.dim, name="o", dtype=x.dtype)(o.reshape(b, l, c.dim))
+        return nn.Dense(c.dim, name="o", dtype=x.dtype,
+                        dot_general=dg)(o.reshape(b, l, c.dim))
 
 
 class I2VCrossAttention(nn.Module):
@@ -201,9 +215,10 @@ class I2VCrossAttention(nn.Module):
         c = self.cfg
         b, l, _ = x.shape
         n, d = c.num_heads, c.head_dim
+        dg = _dg(c)
         ctx_img = context[:, : c.image_context_len]
         ctx_txt = context[:, c.image_context_len:]
-        q = nn.Dense(c.dim, name="q", dtype=x.dtype)(x)
+        q = nn.Dense(c.dim, name="q", dtype=x.dtype, dot_general=dg)(x)
         if c.qk_norm:
             q = RMSNorm(c.dim, c.eps, name="norm_q")(q)
         q = q.reshape(b, l, n, d)
@@ -220,7 +235,7 @@ class I2VCrossAttention(nn.Module):
         o_txt = attention(q, k.reshape(b, -1, n, d), v.reshape(b, -1, n, d), impl=attn_impl)
         o_img = attention(q, k_img.reshape(b, -1, n, d), v_img.reshape(b, -1, n, d), impl=attn_impl)
         o = (o_txt + o_img).reshape(b, l, c.dim)
-        return nn.Dense(c.dim, name="o", dtype=x.dtype)(o)
+        return nn.Dense(c.dim, name="o", dtype=x.dtype, dot_general=dg)(o)
 
 
 class DiTBlock(nn.Module):
@@ -261,10 +276,12 @@ class DiTBlock(nn.Module):
         x = x + cross_cls(c, name="cross_attn")(h, context, cross_impl)
 
         # FFN
+        dg = _dg(c)
         h = _layer_norm(x, c.eps) * (1.0 + e(4)) + e(3)
-        h = nn.Dense(c.ffn_dim, name="ffn_0", dtype=x.dtype)(h.astype(x.dtype))
+        h = nn.Dense(c.ffn_dim, name="ffn_0", dtype=x.dtype,
+                     dot_general=dg)(h.astype(x.dtype))
         h = nn.gelu(h, approximate=True)
-        y = nn.Dense(c.dim, name="ffn_2", dtype=x.dtype)(h)
+        y = nn.Dense(c.dim, name="ffn_2", dtype=x.dtype, dot_general=dg)(h)
         x = (x.astype(jnp.float32) + y.astype(jnp.float32) * e(5)).astype(x.dtype)
         return x
 

@@ -166,31 +166,66 @@ def int8_dit_apply(
             lambda l: jax.lax.dynamic_index_in_dim(l, i, 0, keepdims=False),
             stacked_q)
 
-    def run(tok, idx):
-        """Apply blocks ``idx[0..k)`` (a static-length index vector)."""
+    def apply_block(tok, w):
+        return block.apply({"params": w}, tok, mod, ctx, cos, sin, attn_impl)
+
+    # ONE lax.scan per forward, always. Multiple scans closing over the
+    # same stacked weights make XLA copy the multi-GiB stacks once per
+    # while-loop (observed: 8.8 G of HLO-temp `copy(...)` allocations →
+    # compile-time OOM at 14B/int4); cache boundaries are instead handled
+    # *inside* the single scan body with counter-gated selects.
+    def run(tok, idx, capture=(), inject=None):
+        """Apply blocks ``idx`` (static index vector) in one scan.
+
+        capture: static positions j at which to snapshot the carry BEFORE
+        applying block idx[j] (returned in order). inject: (j, delta) —
+        add delta to the carry before applying block idx[j].
+        """
         if idx.shape[0] == 0:
-            return tok
+            return tok, []
+        snaps0 = [jnp.zeros_like(tok) for _ in capture]
+
         if not pipelined:
-            def body(tok, i):
-                p = _dq(gather(i))
-                return block.apply({"params": p}, tok, mod, ctx, cos, sin,
-                                   attn_impl), None
+            def body(carry, ji):
+                tok, snaps = carry
+                j, i = ji
+                if inject is not None:
+                    tok = tok + jnp.where(j == inject[0],
+                                          inject[1].astype(tok.dtype), 0)
+                snaps = [jnp.where(j == cj, tok, s)
+                         for cj, s in zip(capture, snaps)]
+                tok = apply_block(tok, _dq(gather(i)))
+                return (tok, snaps), None
 
-            tok, _ = jax.lax.scan(body, tok, idx)
-            return tok
+            (tok, snaps), _ = jax.lax.scan(
+                body, (tok, snaps0), (jnp.arange(idx.shape[0]), idx))
+            return tok, snaps
 
-        # software pipeline: dequantize slice i+1 while computing block i
-        def body(carry, i):
-            tok, w = carry
+        # software pipeline: dequantize layer j+1 while computing layer j
+        def body(carry, ji):
+            tok, snaps, w = carry
+            j, i = ji
             w_next = _dq(gather(i))
-            tok = block.apply({"params": w}, tok, mod, ctx, cos, sin,
-                              attn_impl)
-            return (tok, w_next), None
+            if inject is not None:
+                tok = tok + jnp.where(j == inject[0],
+                                      inject[1].astype(tok.dtype), 0)
+            snaps = [jnp.where(j == cj, tok, s)
+                     for cj, s in zip(capture, snaps)]
+            tok = apply_block(tok, w)
+            return (tok, snaps, w_next), None
 
-        (tok, w_last), _ = jax.lax.scan(
-            body, (tok, _dq(gather(idx[0]))), idx[1:])
-        return block.apply({"params": w_last}, tok, mod, ctx, cos, sin,
-                           attn_impl)
+        k = idx.shape[0]
+        (tok, snaps, w_last), _ = jax.lax.scan(
+            body, (tok, snaps0, _dq(gather(idx[0]))),
+            (jnp.arange(k - 1), idx[1:]))
+        # the final block (j = k-1) runs after the loop with the last
+        # prefetched weights; apply its inject/capture gates first
+        if inject is not None:
+            tok = tok + jnp.where(k - 1 == inject[0],
+                                  inject[1].astype(tok.dtype), 0)
+        snaps = [jnp.where(k - 1 == cj, tok, s)
+                 for cj, s in zip(capture, snaps)]
+        return apply_block(tok, w_last), snaps
 
     n = dit.cfg.num_layers
     edge = max(1, int(n * cache_frac))
@@ -199,16 +234,15 @@ def int8_dit_apply(
     tok = emb["tokens"]
     new_cache = None
     if block_cache is None and not return_cache:
-        tok = run(tok, jnp.arange(n))
+        tok, _ = run(tok, jnp.arange(n))
+    elif block_cache is not None:
+        # skip the middle chunk; add its cached delta just before block c1
+        idx = jnp.concatenate([jnp.arange(c0), jnp.arange(c1, n)])
+        tok, _ = run(tok, idx, inject=(c0, block_cache))
     else:
-        tok = run(tok, jnp.arange(c0))
-        if block_cache is not None:
-            tok = tok + block_cache.astype(tok.dtype)
-        else:
-            tok_in = tok
-            tok = run(tok, jnp.arange(c0, c1))
-            new_cache = (tok - tok_in).astype(jnp.bfloat16)
-        tok = run(tok, jnp.arange(c1, n))
+        # full pass, snapshotting the carry entering blocks c0 and c1
+        tok, (t_in, t_out) = run(tok, jnp.arange(n), capture=(c0, c1))
+        new_cache = (t_out - t_in).astype(jnp.bfloat16)
 
     out = dit.apply(other, tok, mod,
                     method=lambda m, tok, mo: m.head(tok, mo))

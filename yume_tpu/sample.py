@@ -55,6 +55,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "on one 16 GB chip)")
     p.add_argument("--teacache", action="store_true",
                    help="block-residual caching between denoise steps")
+    p.add_argument("--w8a8", action="store_true",
+                   help="int8×int8 MXU matmuls for the big block matmuls "
+                        "(2x bf16 MXU peak on v5e; composes with --int4/"
+                        "--int8 weight storage)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output_dir", default="./outputs")
     p.add_argument("--smoke", action="store_true", help="tiny shapes, random weights")
@@ -74,10 +78,10 @@ def load_pipeline(args):
     from .pipelines.i2v import I2VPipeline
     from .pipelines.ti2v import TI2VPipeline
 
+    import dataclasses
+
     cfg = CONFIGS[args.config]()
     if args.smoke:
-        import dataclasses
-
         from .configs import DiTConfig, T5Config, VAEConfig
 
         cfg = dataclasses.replace(
@@ -92,6 +96,9 @@ def load_pipeline(args):
                         num_heads=2, num_layers=1, text_len=32),
             latent_frame_zero=2,
         )
+    if getattr(args, "w8a8", False):
+        cfg = dataclasses.replace(
+            cfg, dit=dataclasses.replace(cfg.dit, w8a8=True))
     cls = I2VPipeline if (cfg.name == "i2v-14B" and not args.smoke) else TI2VPipeline
     pipe = cls.from_config(
         cfg, jax.random.PRNGKey(args.seed), init_t5=True,
