@@ -122,15 +122,27 @@ def main():
         results["dit_fwd_s_full_with_cache"] = timeit(f_full, other, stacked)
         results["dit_fwd_s_cached"] = timeit(f_cached, other, stacked, cache)
 
-    if "w8a8" in variants:
+    if "w8a8" in variants or "w8a8cache" in variants:
         import dataclasses
 
         dit_q = WanDiT(dataclasses.replace(cfg.dit, w8a8=True),
                        dtype=jnp.bfloat16)
-        f = jax.jit(lambda o, s: int8_dit_apply(
-            dit_q, o, s, x, t, ctx, latent_frame_zero=lfz,
-            clip_context=clip_ctx))
-        results["dit_fwd_s_w8a8"] = timeit(f, other, stacked)
+        if "w8a8" in variants:
+            f = jax.jit(lambda o, s: int8_dit_apply(
+                dit_q, o, s, x, t, ctx, latent_frame_zero=lfz,
+                clip_context=clip_ctx))
+            results["dit_fwd_s_w8a8"] = timeit(f, other, stacked)
+        if "w8a8cache" in variants:
+            f_full = jax.jit(lambda o, s: int8_dit_apply(
+                dit_q, o, s, x, t, ctx, latent_frame_zero=lfz,
+                clip_context=clip_ctx, return_cache=True))
+            out, cache = f_full(other, stacked)
+            _ = float(jnp.sum(out))
+            f_cached = jax.jit(lambda o, s, c: int8_dit_apply(
+                dit_q, o, s, x, t, ctx, latent_frame_zero=lfz,
+                clip_context=clip_ctx, block_cache=c))
+            results["dit_fwd_s_w8a8_cached"] = timeit(f_cached, other,
+                                                      stacked, cache)
 
     if "unpacked" in variants:
         xt = x[:, -lfz:]
@@ -141,7 +153,8 @@ def main():
 
     print(json.dumps({
         "metric": "dit_fwd_14b_int%d" % args.bits,
-        "tokens": (f_hist * (68 // 2) * (120 // 2) // 4 + 0),  # approx note
+        "latent_frames": f_hist + lfz,
+        "grid": [h_lat, w_lat],
         "results": {k: (round(v, 3) if isinstance(v, float) else v)
                     for k, v in results.items()},
         "device": str(jax.devices()[0]),

@@ -64,6 +64,10 @@ class I2VPipeline:
     clip: Optional[CLIPVisual] = None
     clip_params: Any = None
     attn_impl: Optional[str] = None
+    # multi-chip serving: with a mesh set, CFG segment denoising runs the
+    # sequence-parallel trunk (parallel/sp_forward.py) over its sp axes
+    mesh: Any = None
+    sp_kind: str = "ulysses"
     # streaming-VAE conditioning cache for autoregressive rollouts
     # (_encode_history_incremental)
     _cond_cache: Any = None
@@ -251,6 +255,13 @@ class I2VPipeline:
                     self.dit, params[0], params[1], x_in, t_frame, context,
                     latent_frame_zero=lfz, clip_context=clip_ctx,
                     attn_impl=self.attn_impl).astype(latent.dtype)
+            elif self.mesh is not None:  # multi-chip sequence parallelism
+                from ..parallel.sp_forward import sp_dit_apply
+
+                out = sp_dit_apply(
+                    self.dit, params, self.mesh, x_in, t_frame, context,
+                    latent_frame_zero=lfz, clip_context=clip_ctx,
+                    kind=self.sp_kind).astype(latent.dtype)
             else:
                 out = self.dit.apply(
                     params, x_in, t_frame, context, packed=True,
@@ -294,6 +305,13 @@ class I2VPipeline:
                     self.dit, params[0], params[1], x_in, t_frame, context,
                     latent_frame_zero=lfz, clip_context=clip_ctx,
                     attn_impl=self.attn_impl).astype(latent.dtype)
+            elif self.mesh is not None:  # multi-chip sequence parallelism
+                from ..parallel.sp_forward import sp_dit_apply
+
+                out = sp_dit_apply(
+                    self.dit, params, self.mesh, x_in, t_frame, context,
+                    latent_frame_zero=lfz, clip_context=clip_ctx,
+                    kind=self.sp_kind).astype(latent.dtype)
             else:
                 out = self.dit.apply(
                     params, x_in, t_frame, context, packed=True,

@@ -38,6 +38,10 @@ class TI2VPipeline:
     t5: Optional[T5Encoder] = None
     t5_params: Any = None
     attn_impl: Optional[str] = None
+    # multi-chip serving: with a mesh set, packed-segment denoising runs
+    # the sequence-parallel trunk (parallel/sp_forward.py) over its sp axes
+    mesh: Any = None
+    sp_kind: str = "ulysses"
 
     # -- construction --------------------------------------------------------
 
@@ -178,6 +182,13 @@ class TI2VPipeline:
                     self.dit, params[0], params[1], lat.astype(jnp.bfloat16),
                     t_frame, ctx, latent_frame_zero=lfz,
                     attn_impl=self.attn_impl).astype(lat.dtype)
+            elif self.mesh is not None:  # multi-chip sequence parallelism
+                from ..parallel.sp_forward import sp_dit_apply
+
+                out = sp_dit_apply(
+                    self.dit, params, self.mesh, lat.astype(jnp.bfloat16),
+                    t_frame, ctx, latent_frame_zero=lfz,
+                    kind=self.sp_kind).astype(lat.dtype)
             else:
                 out = self.dit.apply(
                     params, lat.astype(jnp.bfloat16), t_frame, ctx,

@@ -55,6 +55,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "on one 16 GB chip)")
     p.add_argument("--teacache", action="store_true",
                    help="block-residual caching between denoise steps")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel degree for segment denoising "
+                        "(shards the token axis over an sp mesh axis; "
+                        "needs that many devices)")
+    p.add_argument("--sp_kind", default="ulysses",
+                   choices=["ulysses", "ring", "usp"])
     p.add_argument("--w8a8", action="store_true",
                    help="int8×int8 MXU matmuls for the big block matmuls "
                         "(2x bf16 MXU peak on v5e; composes with --int4/"
@@ -146,6 +152,18 @@ def main(argv=None):
     from .data.tokenizer import Tokenizer
 
     cfg, pipe = load_pipeline(args)
+    if args.sp > 1:
+        from .parallel.mesh import make_mesh, make_usp_mesh
+
+        assert len(jax.devices()) >= args.sp, (len(jax.devices()), args.sp)
+        if args.sp_kind == "usp":
+            pipe.mesh = make_usp_mesh(data=1, fsdp=1, sp_u=2,
+                                      sp_r=args.sp // 2,
+                                      devices=jax.devices()[: args.sp])
+        else:
+            pipe.mesh = make_mesh(data=1, fsdp=1, sp=args.sp,
+                                  devices=jax.devices()[: args.sp])
+        pipe.sp_kind = args.sp_kind
     # the quantized trunk runs packed segments AND unpacked euler t2v;
     # only multistep-solver t2v still needs the bf16 trunk (quantized after
     # its first segment)
