@@ -67,16 +67,52 @@ def main():
     def step(params, x, t, ctx):
         return dit.apply(params, x, t, ctx, packed=True, latent_frame_zero=lfz)
 
-    # warmup / compile. NOTE: fetch a scalar each call — on relayed/remote
-    # PJRT backends block_until_ready alone does not force execution.
-    _ = float(step(params, x, t, ctx).sum())
+    def timeit(fn, *a):
+        # warmup / compile. NOTE: fetch a scalar each call — on relayed/
+        # remote PJRT backends block_until_ready alone does not force
+        # execution.
+        out = fn(*a)
+        _ = float((out[0] if isinstance(out, tuple) else out).sum())
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn(*a)
+            _ = float((out[0] if isinstance(out, tuple) else out).sum())
+            times.append(time.perf_counter() - t0)
+        return min(times)
 
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = float(step(params, x, t, ctx).sum())
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    dt = timeit(step, params, x, t, ctx)
+
+    # TeaCache cached step (middle-half block residuals reused), measured
+    # live — the sampler runs full:cached at 1:1 or 1:2
+    n = cfg.dit.num_layers
+    cache_list = tuple(range(n // 4, n - n // 4))
+
+    @jax.jit
+    def step_full(params, x, t, ctx):
+        return dit.apply(params, x, t, ctx, packed=True, latent_frame_zero=lfz,
+                         cache_list=cache_list, return_cache=True)
+
+    _, cache = step_full(params, x, t, ctx)
+
+    @jax.jit
+    def step_cached(params, x, t, ctx, cache):
+        return dit.apply(params, x, t, ctx, packed=True, latent_frame_zero=lfz,
+                         cache_list=cache_list, block_cache=cache)
+
+    dt_cached = timeit(step_cached, params, x, t, ctx, cache)
+
+    # W8A8 int8-MXU matmuls (ops/quant_matmul.py), measured live
+    import dataclasses
+
+    dit_q = WanDiT(dataclasses.replace(cfg.dit, w8a8=True), dtype=jnp.bfloat16)
+
+    @jax.jit
+    def step_w8a8(params, x, t, ctx):
+        return dit_q.apply(params, x, t, ctx, packed=True,
+                           latent_frame_zero=lfz)
+
+    dt_w8a8 = timeit(step_w8a8, params, x, t, ctx)
 
     clip_seconds = dt * steps
     dev = str(jax.devices()[0])
@@ -93,7 +129,8 @@ def main():
             "steps": steps,
             "history_latent_frames": f_hist,
             "v5p8_extrapolated_s": round(v5p8_est, 2),
-            "teacache_step_ms": 978,  # measured: block-residual caching
+            "teacache_step_ms": round(dt_cached * 1000, 2),
+            "w8a8_step_ms": round(dt_w8a8 * 1000, 2),
             "device": dev,
         },
     }))

@@ -121,3 +121,17 @@ def test_refine_endpoint(server):
     r = _post(port, "/api/refine_prompt",
               {"prompt": "Person moves forward (W).", "image_b64": _png_b64()})
     assert "first-person view" in r["prompt"] or "(W)" in r["prompt"]
+
+
+def test_index_ui_bilingual(server):
+    """The embedded single-page UI must ship both language dictionaries and
+    hit every live endpoint (≙ reference bilingual HTML/JS app,
+    webapp_single_gpu.py:888-1373)."""
+    with urllib.request.urlopen(f"http://127.0.0.1:{server}/",
+                                timeout=60) as r:
+        html = r.read().decode()
+    for marker in ("I18N", "交互式世界生成", "interactive world generation",
+                   "/api/generate_long", "/api/refine_prompt",
+                   "/api/log/tail", "/api/status", "continue_from_last",
+                   "image_b64"):
+        assert marker in html, marker

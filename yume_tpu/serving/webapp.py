@@ -42,33 +42,108 @@ STATE = {
     "lock": threading.Lock(),
 }
 
+# Bilingual (EN/中文) single-page UI over the REST endpoints — the
+# feature-parity counterpart of the reference's embedded HTML/JS app
+# (webapp_single_gpu.py:888-1373: mode select, image upload, prompt +
+# refine, camera vocab, per-step progress, log tail, video gallery).
 INDEX_HTML = """<!doctype html><html><head><meta charset=utf-8>
-<title>Yume TPU</title><style>body{font-family:sans-serif;max-width:720px;
-margin:2em auto}button{margin:2px}video{max-width:100%}</style></head><body>
-<h2>Yume TPU — interactive world generation</h2>
-<p>keys: <select id=keys><option>W</option><option>A</option><option>S</option>
-<option>D</option><option>W+A</option><option>W+D</option><option>S+A</option>
-<option>S+D</option><option>None</option></select>
-mouse: <select id=mouse><option>·</option><option>→</option><option>←</option>
-<option>↑</option><option>↓</option><option>↑→</option><option>↑←</option>
-<option>↓→</option><option>↓←</option></select>
-<button onclick="gen()">Generate</button>
-<button onclick="fetch('/api/load',{method:'POST',body:'{}'})">Load model</button></p>
-<pre id=status></pre><div id=out></div>
+<title>Yume TPU</title><style>
+body{font-family:sans-serif;max-width:860px;margin:1.5em auto;padding:0 1em}
+fieldset{border:1px solid #ccc;border-radius:6px;margin:.6em 0}
+button{margin:2px;padding:.35em .9em}video{max-width:100%;margin:.4em 0}
+textarea{width:100%;box-sizing:border-box}label{margin-right:.8em}
+#bar{height:10px;background:#eee;border-radius:5px;overflow:hidden}
+#fill{height:100%;width:0;background:#4a7;transition:width .3s}
+#log{background:#111;color:#9e9;padding:.5em;font-size:11px;max-height:160px;
+overflow:auto;white-space:pre-wrap}.muted{color:#777;font-size:12px}
+</style></head><body>
+<div style="float:right"><button onclick="setLang('en')">EN</button>
+<button onclick="setLang('zh')">中文</button></div>
+<h2 data-i18n=title></h2>
+<fieldset><legend data-i18n=model></legend>
+<button onclick="loadModel()" data-i18n=load></button>
+<span id=loadstate class=muted></span></fieldset>
+<fieldset><legend data-i18n=controls></legend>
+<label data-i18n=mode></label><select id=mode>
+<option value=t2v data-i18n=m_t2v></option>
+<option value=i2v data-i18n=m_i2v></option>
+<option value=continue_from_last data-i18n=m_cont></option></select>
+<label data-i18n=keys></label><select id=keys><option>W</option><option>A</option>
+<option>S</option><option>D</option><option>W+A</option><option>W+D</option>
+<option>S+A</option><option>S+D</option><option>None</option></select>
+<label data-i18n=mouse></label><select id=mouse><option>·</option><option>→</option>
+<option>←</option><option>↑</option><option>↓</option><option>↑→</option>
+<option>↑←</option><option>↓→</option><option>↓←</option></select>
+<label data-i18n=steps></label><input id=steps type=number value=4 min=1 max=50
+ style="width:4em">
+<label data-i18n=segments></label><input id=segments type=number value=1 min=1
+ max=8 style="width:4em">
+<label>seed</label><input id=seed type=number value=0 style="width:6em">
+</fieldset>
+<fieldset><legend data-i18n=prompt></legend>
+<textarea id=prompt rows=3></textarea>
+<input id=img type=file accept="image/*">
+<button onclick="refine()" data-i18n=refine></button>
+<label><input id=autorefine type=checkbox> <span data-i18n=autorefine></span></label>
+</fieldset>
+<p><button onclick="gen()" style="font-size:1.1em" data-i18n=generate></button>
+<span id=prog class=muted></span></p>
+<div id=bar><div id=fill></div></div>
+<div id=out></div>
+<details><summary data-i18n=logs></summary><div id=log></div></details>
 <script>
+const I18N={en:{title:'Yume TPU — interactive world generation',
+ model:'Model',load:'Load model',controls:'Camera / sampling controls',
+ mode:'mode:',m_t2v:'text → video',m_i2v:'image → video',
+ m_cont:'continue last',keys:'keys:',mouse:'mouse:',steps:'steps:',
+ segments:'segments:',prompt:'Prompt',refine:'Refine prompt',
+ autorefine:'refine before generating',generate:'Generate',logs:'Server log'},
+zh:{title:'Yume TPU — 交互式世界生成',model:'模型',load:'加载模型',
+ controls:'相机 / 采样控制',mode:'模式：',m_t2v:'文生视频',
+ m_i2v:'图生视频',m_cont:'继续上一段',keys:'按键：',mouse:'鼠标：',
+ steps:'步数：',segments:'段数：',prompt:'提示词',refine:'润色提示词',
+ autorefine:'生成前自动润色',generate:'开始生成',logs:'服务器日志'}};
+function setLang(l){localStorage.lang=l;
+ document.querySelectorAll('[data-i18n]').forEach(e=>{
+  e.textContent=I18N[l][e.dataset.i18n]||e.textContent;});}
+async function imgB64(){const f=document.getElementById('img').files[0];
+ if(!f)return null;const b=await f.arrayBuffer();
+ return btoa(String.fromCharCode(...new Uint8Array(b)));}
+async function loadModel(){document.getElementById('loadstate').textContent='...';
+ await fetch('/api/load',{method:'POST',body:'{}'});
+ document.getElementById('loadstate').textContent='ok';}
+async function refine(){const body={prompt:document.getElementById('prompt').value,
+ image_b64:await imgB64()};
+ const r=await fetch('/api/refine_prompt',{method:'POST',
+  headers:{'Content-Type':'application/json'},body:JSON.stringify(body)});
+ const j=await r.json();
+ if(j.prompt)document.getElementById('prompt').value=j.prompt;}
 async function gen(){
- await fetch('/api/generate_long',{method:'POST',headers:{'Content-Type':'application/json'},
-  body:JSON.stringify({keys:document.getElementById('keys').value,
-                       mouse:document.getElementById('mouse').value,
-                       mode:'continue_from_last'})});
+ const body={mode:document.getElementById('mode').value,
+  keys:document.getElementById('keys').value,
+  mouse:document.getElementById('mouse').value,
+  prompt:document.getElementById('prompt').value||undefined,
+  steps:+document.getElementById('steps').value,
+  segments:+document.getElementById('segments').value,
+  seed:+document.getElementById('seed').value,
+  refine_prompt:document.getElementById('autorefine').checked||undefined,
+  image_b64:await imgB64()};
+ await fetch('/api/generate_long',{method:'POST',
+  headers:{'Content-Type':'application/json'},body:JSON.stringify(body)});
  poll();}
 async function poll(){
- let r=await fetch('/api/status'); let j=await r.json();
- document.getElementById('status').textContent=JSON.stringify(j,null,1);
+ const r=await fetch('/api/status');const j=await r.json();
+ document.getElementById('prog').textContent=j.progress||j.status;
+ const s=j.step||{};const pct=s.n?Math.round(100*((s.segment||0)*s.n+s.i)/
+  ((s.segments||1)*s.n)):0;
+ document.getElementById('fill').style.width=pct+'%';
+ try{const lr=await fetch('/api/log/tail?n=30');const lj=await lr.json();
+  document.getElementById('log').textContent=(lj.lines||[]).join('\\n');}catch(e){}
  if(j.status=='generating'){setTimeout(poll,1000);}
- else if(j.outputs.length){document.getElementById('out').innerHTML=
-  '<video controls autoplay src="/video/'+j.outputs.length-1+'"></video>';}}
-poll();
+ else if(j.outputs&&j.outputs.length){
+  document.getElementById('out').innerHTML=j.outputs.map((_,i)=>
+   '<video controls src="/video/'+i+'"></video>').reverse().join('');}}
+setLang(localStorage.lang||'en');poll();
 </script></body></html>"""
 
 
