@@ -32,8 +32,17 @@ from .controls import (BASE_CAPTION,  # noqa: re-exported for callers
 def read_video_frames(
     path: str, indices: List[int], size: Optional[Tuple[int, int]] = None
 ) -> np.ndarray:
-    """Decode specific frames with OpenCV → [N, H, W, 3] float32 in [-1, 1].
-    ``size`` = (height, width) resize."""
+    """Decode specific frames → [N, H, W, 3] float32 in [-1, 1].
+    ``size`` = (height, width) resize.
+
+    Prefers the native libavcodec decoder (native/yume_decode.cpp — ≙ the
+    reference's decord); falls back to OpenCV when the .so isn't built."""
+    from .native import decode_frames
+
+    frames = decode_frames(path, indices, size)
+    if frames is not None:
+        return frames.astype(np.float32) / 127.5 - 1.0
+
     import cv2
 
     cap = cv2.VideoCapture(path)
@@ -65,6 +74,12 @@ def read_video_frames(
 
 
 def video_length(path: str) -> int:
+    from .native import video_frame_count
+
+    n = video_frame_count(path)
+    if n is not None:
+        return n
+
     import cv2
 
     cap = cv2.VideoCapture(path)

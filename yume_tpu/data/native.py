@@ -91,3 +91,91 @@ def center_crop_resize(frames: np.ndarray, out_h: int, out_w: int) -> np.ndarray
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         out_h, out_w)
     return out
+
+
+# ---------------------------------------------------------------------------
+# native video decode (native/yume_decode.cpp — ≙ the reference's decord,
+# fastvideo/dataset/t2v_datasets.py)
+# ---------------------------------------------------------------------------
+
+_DECODE_SO = os.path.join(_NATIVE_DIR, "libyume_decode.so")
+_decode_lib: Optional[ctypes.CDLL] = None
+
+
+def _load_decode() -> Optional[ctypes.CDLL]:
+    global _decode_lib
+    if _decode_lib is not None:
+        return _decode_lib
+    if not os.path.exists(_DECODE_SO):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True)
+        except Exception:
+            return None
+    if not os.path.exists(_DECODE_SO):
+        return None
+    try:
+        lib = ctypes.CDLL(_DECODE_SO)
+        lib.yd_open.argtypes = [ctypes.c_char_p]
+        lib.yd_open.restype = ctypes.c_void_p
+        lib.yd_width.argtypes = [ctypes.c_void_p]
+        lib.yd_height.argtypes = [ctypes.c_void_p]
+        lib.yd_frame_count.argtypes = [ctypes.c_void_p]
+        lib.yd_frame_count.restype = ctypes.c_int64
+        lib.yd_read_frames.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int]
+        lib.yd_close.argtypes = [ctypes.c_void_p]
+        _decode_lib = lib
+        return lib
+    except OSError:
+        return None
+
+
+def have_native_decode() -> bool:
+    return _load_decode() is not None
+
+
+def decode_frames(path: str, indices, size=None) -> Optional[np.ndarray]:
+    """Decode specific frames natively → uint8 [N, H, W, 3] RGB, or None
+    when the decoder is unavailable / the file can't be opened.
+
+    ``indices`` may repeat and be unordered (matching the cv2 reader's
+    contract); ``size`` = (height, width) scales during decode (swscale
+    SWS_AREA — one pass, no separate resize)."""
+    lib = _load_decode()
+    if lib is None:
+        return None
+    h = lib.yd_open(path.encode())
+    if not h:
+        return None
+    try:
+        want = sorted(set(int(i) for i in indices))
+        arr = np.asarray(want, np.int64)
+        out_h, out_w = (size if size is not None
+                        else (lib.yd_height(h), lib.yd_width(h)))
+        buf = np.empty((len(want), out_h, out_w, 3), np.uint8)
+        got = lib.yd_read_frames(
+            h, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(want),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out_h, out_w)
+        if got != len(want):
+            return None
+        lut = {f: i for i, f in enumerate(want)}
+        return buf[[lut[int(i)] for i in indices]]
+    finally:
+        lib.yd_close(h)
+
+
+def video_frame_count(path: str) -> Optional[int]:
+    """Container-recorded frame count, or None when unavailable."""
+    lib = _load_decode()
+    if lib is None:
+        return None
+    h = lib.yd_open(path.encode())
+    if not h:
+        return None
+    try:
+        n = lib.yd_frame_count(h)
+        return int(n) if n > 0 else None
+    finally:
+        lib.yd_close(h)
