@@ -14,7 +14,10 @@ external-model dependencies; this module provides the same interface with:
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional
+
+import numpy as np
 
 REFINE_QUESTION = (
     "Based on the image, expand this action description into a detailed "
@@ -146,9 +149,132 @@ class HFPromptRefiner:
 
 
 def get_refiner(model_path: Optional[str] = None):
-    if model_path:
+    """'remote' (or a set YUME_REFINE_URL with no local model) → the remote
+    expander; a path → local HF model; otherwise the template fallback."""
+    import os
+
+    if model_path == "remote" or (not model_path
+                                  and os.environ.get("YUME_REFINE_URL")):
+        try:
+            return RemoteRefiner()
+        except Exception as e:
+            print(f"remote refiner unavailable ({e}); using template fallback")
+    elif model_path:
         try:
             return HFPromptRefiner(model_path)
         except Exception as e:
             print(f"prompt refiner load failed ({e}); using template fallback")
     return TemplateRefiner()
+
+
+# ---------------------------------------------------------------------------
+# remote prompt expansion (≙ the reference's DashScopePromptExpander,
+# wan/utils/prompt_extend.py:157-290: qwen-plus text / qwen-vl-max image
+# expansion over the DashScope HTTP API with retries + graceful fallback)
+# ---------------------------------------------------------------------------
+
+SYSTEM_PROMPT_EN = (
+    "You expand short video-generation prompts into one vivid, concrete "
+    "paragraph: describe the scene, subjects, motion, camera movement, and "
+    "lighting, keep every control token from the input unchanged, and do "
+    "not add meta commentary.")
+SYSTEM_PROMPT_ZH = (
+    "你负责把简短的视频生成提示词扩写成一段具体生动的描述：包括场景、主体、"
+    "运动、镜头与光线；保留输入中的所有控制符号，不要添加任何解释。")
+
+
+@dataclasses.dataclass
+class RefineResult:
+    """≙ the reference's PromptOutput (prompt_extend.py:33-47)."""
+
+    status: bool
+    prompt: str
+    seed: int
+    system_prompt: str
+    message: str = ""
+
+
+class RemoteRefiner:
+    """Prompt expansion over a remote OpenAI/DashScope-style chat endpoint
+    using stdlib urllib (no SDK dependency). Configure with
+    ``YUME_REFINE_URL`` (+ optional ``YUME_REFINE_KEY``,
+    ``YUME_REFINE_MODEL``) or pass explicitly. Retries ``retry_times`` and
+    falls back to the original prompt with ``status=False`` — the same
+    contract as the reference expander."""
+
+    def __init__(self, base_url: Optional[str] = None,
+                 api_key: Optional[str] = None,
+                 model_name: Optional[str] = None,
+                 retry_times: int = 4, tar_lang: str = "en",
+                 max_image_size: int = 512 * 512):
+        import os
+
+        self.base_url = base_url or os.environ.get("YUME_REFINE_URL")
+        if not self.base_url:
+            raise ValueError("no refine endpoint: set YUME_REFINE_URL")
+        self.api_key = api_key or os.environ.get("YUME_REFINE_KEY")
+        self.model = model_name or os.environ.get("YUME_REFINE_MODEL",
+                                                  "qwen-plus")
+        self.retry_times = retry_times
+        self.system_prompt = (SYSTEM_PROMPT_ZH if tar_lang == "zh"
+                              else SYSTEM_PROMPT_EN)
+        self.max_image_size = max_image_size
+
+    def _content(self, prompt: str, image) -> list:
+        if image is None:
+            return [{"type": "text", "text": prompt}]
+        # bounded-area resize then inline data URL (≙ extend_with_img's
+        # max_image_size resize + file upload, prompt_extend.py:233-249)
+        import base64
+        import io
+        import math
+
+        from PIL import Image
+
+        img = Image.fromarray(
+            np.clip((np.asarray(image) + 1.0) * 127.5, 0, 255).astype(np.uint8)
+            if np.asarray(image).dtype != np.uint8 else np.asarray(image))
+        area = min(img.width * img.height, self.max_image_size)
+        ar = img.height / img.width
+        img = img.resize((round(math.sqrt(area / ar)),
+                          round(math.sqrt(area * ar))))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        url = ("data:image/png;base64," +
+               base64.b64encode(buf.getvalue()).decode())
+        return [{"type": "image_url", "image_url": {"url": url}},
+                {"type": "text", "text": prompt}]
+
+    def extend(self, prompt: str, image=None, seed: int = -1) -> RefineResult:
+        import json as _json
+        import random
+        import urllib.request
+
+        if seed < 0:
+            seed = random.randint(0, 2**31 - 1)
+        body = _json.dumps({
+            "model": self.model,
+            "seed": seed,
+            "messages": [
+                {"role": "system", "content": self.system_prompt},
+                {"role": "user", "content": self._content(prompt, image)},
+            ],
+        }).encode()
+        headers = {"Content-Type": "application/json"}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        err = None
+        for _ in range(self.retry_times):
+            try:
+                req = urllib.request.Request(self.base_url, data=body,
+                                             headers=headers, method="POST")
+                with urllib.request.urlopen(req, timeout=60) as r:
+                    out = _json.loads(r.read())
+                text = out["choices"][0]["message"]["content"]
+                return RefineResult(True, text, seed, self.system_prompt)
+            except Exception as e:  # noqa: keep retrying on any transport error
+                err = e
+        return RefineResult(False, prompt, seed, self.system_prompt, str(err))
+
+    def __call__(self, prompt: str, image=None) -> str:
+        return self.extend(prompt, image).prompt
