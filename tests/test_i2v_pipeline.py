@@ -157,3 +157,26 @@ def test_incremental_conditioning_matches_full_encode():
     np.testing.assert_allclose(np.asarray(y2[..., 2:]),
                                np.asarray(full_encode(hist2, 13)),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_cfg_parallel_matches_sequential():
+    """Batched cond+uncond CFG (xDiT cfg_degree equivalent) must equal the
+    two-call loop exactly — the model is batch-independent."""
+    pipe = I2VPipeline.from_config(
+        TINY, jax.random.PRNGKey(0), init_t5=True, init_clip=True,
+        latent_shape=(3, 4, 4), dtype=jnp.float32,
+    )
+    pipe.attn_impl = "xla"
+    ids = jnp.zeros((1, 16), jnp.int32)
+    a = jnp.arange(16)[None] % 3
+    ctx = pipe.encode_text(ids + a.astype(jnp.int32), jnp.ones_like(ids))
+    ctx_null = pipe.encode_text(ids, jnp.ones_like(ids))
+    img = jnp.ones((1, 1, 32, 32, 3)) * 0.3
+
+    want, _ = pipe.generate(img, ctx, ctx_null, frame_num=5, steps=2,
+                            guide_scale=5.0, seed=3)
+    pipe.cfg_parallel = True
+    got, _ = pipe.generate(img, ctx, ctx_null, frame_num=5, steps=2,
+                           guide_scale=5.0, seed=3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)

@@ -129,6 +129,7 @@ def cfg_euler_sample_segment(
     sigmas: np.ndarray,
     latent_frame_zero: int,
     guide_scale: float,
+    batched_cfg: bool = False,
 ) -> jax.Array:
     """14B-style CFG Euler with history re-noising (reference
     fastvideo/sample/sample.py:769-790): two DiT calls per step
@@ -137,6 +138,12 @@ def cfg_euler_sample_segment(
 
     ``denoise_fn(latent, t_frame, ctx)``; ``latent`` enters at σ=1 (tail is
     noise, history already re-noised at σ_0=1 by the caller or here).
+
+    ``batched_cfg`` runs cond+uncond as ONE batch-2B forward (identical
+    math — the model is batch-independent). Under a mesh with a ``data``
+    axis of 2, GSPMD splits the two branches across chips: xDiT's
+    classifier-free-guidance parallelism (the reference delegates this to
+    xfuser's cfg_degree).
     """
     b, f = latent.shape[:2]
     f_hist = f - latent_frame_zero
@@ -146,11 +153,18 @@ def cfg_euler_sample_segment(
     hist0 = s0 * noise[:, :f_hist] + (1.0 - s0) * clean_history
     latent = jnp.concatenate([hist0, noise[:, f_hist:]], axis=1)
 
+    ctx2 = jnp.concatenate([ctx, ctx_null], axis=0) if batched_cfg else None
+
     def step(latent, sig):
         s_i, s_n = sig[0], sig[1]
         t_frame = jnp.full((b, f), s_i * 1000.0)
-        v_c = denoise_fn(latent, t_frame, ctx)
-        v_u = denoise_fn(latent, t_frame, ctx_null)
+        if batched_cfg:
+            v2 = denoise_fn(jnp.concatenate([latent, latent], axis=0),
+                            jnp.concatenate([t_frame, t_frame], axis=0), ctx2)
+            v_c, v_u = v2[:b], v2[b:]
+        else:
+            v_c = denoise_fn(latent, t_frame, ctx)
+            v_u = denoise_fn(latent, t_frame, ctx_null)
         v = v_u + guide_scale * (v_c - v_u)
         v_tail = v[:, -latent_frame_zero:]
         tail = latent[:, -latent_frame_zero:] + (s_n - s_i) * v_tail

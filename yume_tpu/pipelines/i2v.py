@@ -68,6 +68,9 @@ class I2VPipeline:
     # sequence-parallel trunk (parallel/sp_forward.py) over its sp axes
     mesh: Any = None
     sp_kind: str = "ulysses"
+    # CFG parallelism (xDiT cfg_degree): cond+uncond as one batch-2B call,
+    # splittable across a data mesh axis
+    cfg_parallel: bool = False
     # streaming-VAE conditioning cache for autoregressive rollouts
     # (_encode_history_incremental)
     _cond_cache: Any = None
@@ -247,25 +250,31 @@ class I2VPipeline:
         lfz = self.config.latent_frame_zero
 
         def denoise(latent, t_frame, context):
-            x_in = jnp.concatenate([latent, y], axis=-1).astype(jnp.bfloat16)
+            # cfg_parallel doubles the latent batch (cond;uncond) — tile the
+            # closed-over conditioning to match
+            reps = latent.shape[0] // y.shape[0]
+            y_ = jnp.concatenate([y] * reps, 0) if reps > 1 else y
+            clip_ = (jnp.concatenate([clip_ctx] * reps, 0)
+                     if reps > 1 and clip_ctx is not None else clip_ctx)
+            x_in = jnp.concatenate([latent, y_], axis=-1).astype(jnp.bfloat16)
             if isinstance(params, tuple):  # int8 trunk (quantize_int8())
                 from ..models.quantized import int8_dit_apply
 
                 out = int8_dit_apply(
                     self.dit, params[0], params[1], x_in, t_frame, context,
-                    latent_frame_zero=lfz, clip_context=clip_ctx,
+                    latent_frame_zero=lfz, clip_context=clip_,
                     attn_impl=self.attn_impl).astype(latent.dtype)
             elif self.mesh is not None:  # multi-chip sequence parallelism
                 from ..parallel.sp_forward import sp_dit_apply
 
                 out = sp_dit_apply(
                     self.dit, params, self.mesh, x_in, t_frame, context,
-                    latent_frame_zero=lfz, clip_context=clip_ctx,
+                    latent_frame_zero=lfz, clip_context=clip_,
                     kind=self.sp_kind).astype(latent.dtype)
             else:
                 out = self.dit.apply(
                     params, x_in, t_frame, context, packed=True,
-                    latent_frame_zero=lfz, clip_context=clip_ctx,
+                    latent_frame_zero=lfz, clip_context=clip_,
                     attn_impl=self.attn_impl,
                 ).astype(latent.dtype)
             pad = jnp.zeros_like(latent[:, : latent.shape[1] - lfz])
@@ -280,7 +289,8 @@ class I2VPipeline:
             [clean_hist[:, : noise.shape[1] - lfz], noise[:, -lfz:]], axis=1
         )
         return samplers.cfg_euler_sample_segment(
-            denoise, latent0, noise, ctx, ctx_null, sig, lfz, guide_scale
+            denoise, latent0, noise, ctx, ctx_null, sig, lfz, guide_scale,
+            batched_cfg=self.cfg_parallel,
         )
 
     @functools.partial(jax.jit,

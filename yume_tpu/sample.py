@@ -61,6 +61,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "needs that many devices)")
     p.add_argument("--sp_kind", default="ulysses",
                    choices=["ulysses", "ring", "usp"])
+    p.add_argument("--cfg_parallel", action="store_true",
+                   help="run CFG cond+uncond as one batch-2 forward "
+                        "(splits across a data mesh axis; xDiT cfg_degree "
+                        "equivalent); 14B CFG path")
     p.add_argument("--w8a8", action="store_true",
                    help="int8×int8 MXU matmuls for the big block matmuls "
                         "(2x bf16 MXU peak on v5e; composes with --int4/"
@@ -164,6 +168,8 @@ def main(argv=None):
             pipe.mesh = make_mesh(data=1, fsdp=1, sp=args.sp,
                                   devices=jax.devices()[: args.sp])
         pipe.sp_kind = args.sp_kind
+    if args.cfg_parallel and hasattr(pipe, "cfg_parallel"):
+        pipe.cfg_parallel = True
     # the quantized trunk runs packed segments AND unpacked euler t2v;
     # only multistep-solver t2v still needs the bf16 trunk (quantized after
     # its first segment)
