@@ -66,3 +66,17 @@ def test_mvdt_training_step():
     step = jax.jit(make_train_step(dit.apply, tc, packed=True, mvdt_keep=40))
     state, metrics = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_lora_driver_smoke(tmp_path):
+    """--lora_rank trains only the adapter tree through the CLI driver
+    (validation merges adapters back onto the frozen base)."""
+    from yume_tpu import train as train_mod
+
+    rc = train_mod.main([
+        "--smoke", "--lora_rank", "4", "--max_train_steps", "2",
+        "--checkpointing_steps", "0", "--validation_steps", "2",
+        "--output_dir", str(tmp_path),
+    ])
+    assert rc == 0
+    assert (tmp_path / "generated_test_video").exists()

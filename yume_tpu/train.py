@@ -52,6 +52,9 @@ def build_argparser():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--remat", action="store_true",
                    help="activation checkpointing per DiT block")
+    p.add_argument("--lora_rank", type=int, default=0,
+                   help="train LoRA adapters of this rank instead of full "
+                        "params (base frozen; single-chip 5B finetune)")
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--profile_dir", default=None,
@@ -189,7 +192,27 @@ def main(argv=None):
             return jax.jit(make_train_step(dit.apply, tc, packed=True,
                                            mvdt_keep=keep))
 
-    if args.MVDT:
+    if args.lora_rank:
+        # parameter-efficient finetune: base frozen, only the adapter tree
+        # trains (≙ the reference's peft LoRA path, fastvideo/utils/
+        # checkpoint.py:340-397) — lets the 5B/14B models finetune within
+        # single-chip HBM (grads + moments exist only for the adapters)
+        assert not (args.MVDT or args.Distil), \
+            "--lora_rank composes with the plain flow-matching step"
+        from .training.lora import count_params, init_lora, make_lora_train_step
+
+        lora = init_lora(jax.random.PRNGKey(args.seed + 2), params,
+                         rank=args.lora_rank)
+        main_print(f"LoRA rank {args.lora_rank}: "
+                   f"{count_params(lora):,} trainable / "
+                   f"{count_params(params):,} total params")
+        _lora_step = jax.jit(make_lora_train_step(dit.apply, tc, packed=True))
+
+        def step_fn(st, batch_, rng_):
+            return _lora_step(st, params, batch_, rng_)
+
+        state = init_train_state(lora, tc)
+    elif args.MVDT:
         step_fns = {k: _mk(k) for k in set(mvdt_keeps)}
 
         def step_fn(*a):
@@ -302,7 +325,13 @@ def main(argv=None):
             main_print(f"checkpoint saved at step {step + 1}")
 
         if args.validation_steps and (step + 1) % args.validation_steps == 0:
-            _validation_rollout(args, dit, state, batch, lfz, step + 1,
+            vstate = state
+            if args.lora_rank:
+                from .training.lora import merge_lora
+
+                vstate = state.replace(
+                    ema_params=merge_lora(params, state.ema_params))
+            _validation_rollout(args, dit, vstate, batch, lfz, step + 1,
                                 pipe=pipe)
 
     if tracing:

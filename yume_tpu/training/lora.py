@@ -85,17 +85,24 @@ def count_params(tree) -> int:
 
 def make_lora_train_step(
     dit_apply: Callable,
-    base_params: Any,
     train_cfg,
-    optimizer,
     *,
     scale: float = 1.0,
     packed: bool = True,
 ) -> Callable:
-    """Train step over the LoRA tree only (base frozen)."""
+    """Train step over the LoRA tree only (base frozen).
+
+    Returns ``step(state, base_params, batch, rng) -> (state, metrics)``.
+    The frozen base is a *step argument* on purpose: closing over it would
+    bake the ~10 GiB bf16 tree into the jitted program as constants
+    (doubling HBM and retracing on any base change)."""
     from .train_step import make_train_step
 
-    def apply_with_lora(lora, *args, **kw):
-        return dit_apply(merge_lora(base_params, lora, scale=scale), *args, **kw)
+    def step(state, base_params, batch, rng):
+        inner = make_train_step(
+            lambda lora, *a, **kw: dit_apply(
+                merge_lora(base_params, lora, scale=scale), *a, **kw),
+            train_cfg, packed=packed)
+        return inner(state, batch, rng)
 
-    return make_train_step(apply_with_lora, train_cfg, packed=packed)
+    return step
