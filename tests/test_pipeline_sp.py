@@ -57,3 +57,20 @@ def test_generate_segment_sp_matches_dense(kind, mesh_fn):
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=5e-4, rtol=5e-4)
+
+
+def test_generate_segment_pp_matches_dense():
+    """Pipeline-parallel trunk behind the same public API (the bf16
+    multi-chip route: weights 1/S per chip)."""
+    pipe = _tiny_pipe()
+    lfz = pipe.config.latent_frame_zero
+    latent = jax.random.normal(jax.random.PRNGKey(1), (1, 5, 4, 4, 8))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16))
+
+    pipe.attn_impl = "xla"
+    want = pipe.generate_segment(latent, ctx, steps=2, shift=3.0, seed=0)
+
+    pipe.parallelize_pp(2)
+    got = pipe.generate_segment(latent, ctx, steps=2, shift=3.0, seed=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-4, rtol=5e-4)

@@ -167,3 +167,35 @@ def pp_dit_apply(
     out = dit.apply(other, out, mod,
                     method=lambda m_, tok, mo: m_.head(tok, mo))
     return dit._unpatchify(out[:, emb["l_hist"]:], emb["tail_grid"])
+
+
+class PPParams:
+    """Pipeline-staged DiT params as carried by the serving pipelines
+    (marker type: pipelines route their denoise through `pp_dit_apply`
+    when ``dit_params`` is a PPParams). Registered as a pytree whose
+    ``mesh`` travels as static aux data (Mesh is hashable), so a PPParams
+    can be a traced jit argument. Deliberately NOT a tuple subclass —
+    the pipelines' ``isinstance(params, tuple)`` quantized-trunk check
+    must not match it."""
+
+    def __init__(self, other: Any, staged: Any, mesh: Mesh):
+        self.other = other
+        self.staged = staged
+        self.mesh = mesh
+
+
+jax.tree_util.register_pytree_node(
+    PPParams,
+    lambda p: ((p.other, p.staged), p.mesh),
+    lambda mesh, kids: PPParams(kids[0], kids[1], mesh))
+
+
+def prepare_pp(params: Any, num_layers: int, stages: int,
+               *, devices=None) -> PPParams:
+    """Stage + place WanDiT params for pipeline-parallel serving."""
+    mesh = make_pp_mesh(stages, devices=devices)
+    other, staged = pp_stage_params(params, num_layers, stages)
+    sh_r = NamedSharding(mesh, P())
+    other = jax.tree_util.tree_map(lambda l: jax.device_put(l, sh_r), other)
+    staged = shard_stage_params(staged, mesh)
+    return PPParams(other, staged, mesh)

@@ -264,6 +264,14 @@ class I2VPipeline:
                     self.dit, params[0], params[1], x_in, t_frame, context,
                     latent_frame_zero=lfz, clip_context=clip_,
                     attn_impl=self.attn_impl).astype(latent.dtype)
+            elif type(params).__name__ == "PPParams":  # pipeline parallel
+                from ..parallel.pipeline import pp_dit_apply
+
+                out = pp_dit_apply(
+                    self.dit, params.other, params.staged, params.mesh,
+                    x_in, t_frame, context, latent_frame_zero=lfz,
+                    clip_context=clip_,
+                    attn_impl=self.attn_impl).astype(latent.dtype)
             elif self.mesh is not None:  # multi-chip sequence parallelism
                 from ..parallel.sp_forward import sp_dit_apply
 
@@ -408,6 +416,17 @@ class I2VPipeline:
         if not isinstance(self.dit_params, tuple):
             self.dit_params = quantize_dit_blocks(
                 self.dit_params, self.config.dit.num_layers, bits=bits)
+
+    def parallelize_pp(self, stages: int, *, devices=None):
+        """Stage the bf16 trunk across a pp mesh (weights 1/S per chip):
+        the other route to multi-chip 14B serving (vs quantization) —
+        CFG denoising then runs through parallel/pipeline.py."""
+        from ..parallel.pipeline import PPParams, prepare_pp
+
+        if not isinstance(self.dit_params, (tuple, PPParams)):
+            self.dit_params = prepare_pp(
+                self.dit_params, self.config.dit.num_layers, stages,
+                devices=devices)
 
     def generate(
         self,

@@ -122,6 +122,13 @@ class TI2VPipeline:
                     self.dit, params[0], params[1],
                     latent.astype(jnp.bfloat16), t_frame, ctx, packed=False,
                     attn_impl=self.attn_impl).astype(latent.dtype)
+            if type(params).__name__ == "PPParams":  # pipeline parallel
+                from ..parallel.pipeline import pp_dit_apply
+
+                return pp_dit_apply(
+                    self.dit, params.other, params.staged, params.mesh,
+                    latent.astype(jnp.bfloat16), t_frame, ctx, packed=False,
+                    attn_impl=self.attn_impl).astype(latent.dtype)
             return self.dit.apply(
                 params, latent.astype(jnp.bfloat16), t_frame, ctx,
                 packed=False, attn_impl=self.attn_impl,
@@ -181,6 +188,14 @@ class TI2VPipeline:
                 out = int8_dit_apply(
                     self.dit, params[0], params[1], lat.astype(jnp.bfloat16),
                     t_frame, ctx, latent_frame_zero=lfz,
+                    attn_impl=self.attn_impl).astype(lat.dtype)
+            elif type(params).__name__ == "PPParams":  # pipeline parallel
+                from ..parallel.pipeline import pp_dit_apply
+
+                out = pp_dit_apply(
+                    self.dit, params.other, params.staged, params.mesh,
+                    lat.astype(jnp.bfloat16), t_frame, ctx,
+                    latent_frame_zero=lfz,
                     attn_impl=self.attn_impl).astype(lat.dtype)
             elif self.mesh is not None:  # multi-chip sequence parallelism
                 from ..parallel.sp_forward import sp_dit_apply
@@ -378,6 +393,16 @@ class TI2VPipeline:
             self.dit_params = quantize_dit_blocks(
                 self.dit_params, self.config.dit.num_layers, bits=bits)
 
+    def parallelize_pp(self, stages: int, *, devices=None):
+        """Stage the bf16 trunk across a pp mesh (weights 1/S per chip);
+        segment denoising then runs through parallel/pipeline.py."""
+        from ..parallel.pipeline import PPParams, prepare_pp
+
+        if not isinstance(self.dit_params, (tuple, PPParams)):
+            self.dit_params = prepare_pp(
+                self.dit_params, self.config.dit.num_layers, stages,
+                devices=devices)
+
     def generate_t2v(
         self,
         ctx: jax.Array,
@@ -406,7 +431,9 @@ class TI2VPipeline:
             jax.random.PRNGKey(seed),
             (ctx.shape[0], f_lat, h_lat, w_lat, cfgv.z_dim), jnp.float32,
         )
-        if isinstance(self.dit_params, tuple) and solver != "euler":
+        _special = (isinstance(self.dit_params, tuple)
+                    or type(self.dit_params).__name__ == "PPParams")
+        if _special and solver != "euler":
             raise NotImplementedError(
                 "quantized t2v supports the euler solver; multistep solvers "
                 "need the bf16 trunk")
@@ -445,6 +472,10 @@ class TI2VPipeline:
         )
         latent = jnp.concatenate([history_latents, noise], axis=1)
         history_t = jnp.zeros((b, f_hist), jnp.float32)
+        _special = type(self.dit_params).__name__ == "PPParams"
+        if _special and sampler != "euler":
+            raise NotImplementedError(
+                f"pp trunk supports the euler sampler, got {sampler!r}")
         if isinstance(self.dit_params, tuple) and sampler not in ("euler",
                                                                   "teacache"):
             raise NotImplementedError(

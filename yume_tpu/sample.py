@@ -61,6 +61,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "needs that many devices)")
     p.add_argument("--sp_kind", default="ulysses",
                    choices=["ulysses", "ring", "usp"])
+    p.add_argument("--pp", type=int, default=0,
+                   help="pipeline-parallel stages for the bf16 trunk "
+                        "(weights 1/S per chip — the unquantized route to "
+                        "multi-chip 14B)")
     p.add_argument("--cfg_parallel", action="store_true",
                    help="run CFG cond+uncond as one batch-2 forward "
                         "(splits across a data mesh axis; xDiT cfg_degree "
@@ -170,6 +174,8 @@ def main(argv=None):
         pipe.sp_kind = args.sp_kind
     if args.cfg_parallel and hasattr(pipe, "cfg_parallel"):
         pipe.cfg_parallel = True
+    if args.pp > 1:
+        pipe.parallelize_pp(args.pp)
     # the quantized trunk runs packed segments AND unpacked euler t2v;
     # only multistep-solver t2v still needs the bf16 trunk (quantized after
     # its first segment)
