@@ -219,3 +219,24 @@ def test_load_torch_weights_full_checkpoint_dir(rng_np, tmp_path):
     got_t = pipe.t5.apply(pipe.t5_params, jnp.asarray(ids), jnp.asarray(mask))
     np.testing.assert_allclose(np.asarray(got_t)[0], want_t[0],
                                atol=3e-5, rtol=1e-4)
+
+
+def test_async_checkpointer_roundtrip(tmp_path):
+    """Async Checkpointer: saves overlap compute, retention prunes, and the
+    latest state restores exactly."""
+    import jax.numpy as jnp
+
+    from yume_tpu.utils.checkpoint import Checkpointer, restore_checkpoint
+
+    state = {"w": jnp.arange(8.0), "step": jnp.int32(0)}
+    ck = Checkpointer(str(tmp_path), max_to_keep=2)
+    for s in (1, 2, 3):
+        ck.save(s, {"w": state["w"] + s, "step": jnp.int32(s)})
+    ck.close()
+
+    restored = restore_checkpoint(str(tmp_path), state)
+    assert int(restored["step"]) == 3
+    np.testing.assert_allclose(np.asarray(restored["w"]),
+                               np.arange(8.0) + 3)
+    kept = sorted(p.name for p in tmp_path.iterdir() if p.name.isdigit())
+    assert kept == ["2", "3"]  # max_to_keep pruned step 1

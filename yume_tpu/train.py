@@ -80,7 +80,7 @@ def main(argv=None):
     from .parallel.mesh import make_mesh, shard_params
     from .training.train_step import (TrainConfig, init_train_state,
                                       make_train_step)
-    from .utils.checkpoint import restore_checkpoint, save_checkpoint
+    from .utils.checkpoint import restore_checkpoint
     from .utils.logging_ import main_print
 
     cfg = CONFIGS[args.config]()
@@ -289,6 +289,7 @@ def main(argv=None):
 
     prof_lo, prof_hi = (int(s) for s in args.profile_steps.split(","))
     tracing = False
+    ckpter = None  # async Checkpointer, created on first save
     times = []
     for step in range(start_step, args.max_train_steps):
         if args.profile_dir and step == prof_lo:
@@ -321,8 +322,12 @@ def main(argv=None):
                    f"step_time={np.mean(times[-100:]):.2f}s")
 
         if args.checkpointing_steps and (step + 1) % args.checkpointing_steps == 0:
-            save_checkpoint(args.output_dir, state, step + 1)
-            main_print(f"checkpoint saved at step {step + 1}")
+            if ckpter is None:
+                from .utils.checkpoint import Checkpointer
+
+                ckpter = Checkpointer(args.output_dir)
+            ckpter.save(step + 1, state)
+            main_print(f"checkpoint save started at step {step + 1} (async)")
 
         if args.validation_steps and (step + 1) % args.validation_steps == 0:
             vstate = state
@@ -341,6 +346,8 @@ def main(argv=None):
         from .utils.logging_ import phase_summary
 
         phase_summary()
+    if ckpter is not None:
+        ckpter.close()  # drain the in-flight async save
     if loader is not None:
         loader.close()
     return 0
