@@ -125,3 +125,33 @@ def ep_dit_apply(
     out = dit.apply(other, out, mod,
                     method=lambda m_, tok, mo: m_.head(tok, mo))
     return dit._unpatchify(out[:, emb["l_hist"]:], emb["tail_grid"])
+
+
+class EPParams:
+    """Expert-sharded dual-model params as carried by the pipelines
+    (others = per-expert non-trunk params, replicated; blocks = [2, N, ...]
+    trunk sharded over ``ep``). Registered as a pytree with the mesh as
+    static aux so it can be a traced jit argument."""
+
+    def __init__(self, others: Tuple[Any, Any], blocks: Any, mesh: Mesh):
+        self.others = others
+        self.blocks = blocks
+        self.mesh = mesh
+
+
+jax.tree_util.register_pytree_node(
+    EPParams,
+    lambda p: ((p.others, p.blocks), p.mesh),
+    lambda mesh, kids: EPParams(kids[0], kids[1], mesh))
+
+
+def prepare_ep(params_high: Any, params_low: Any, num_layers: int,
+               *, devices=None) -> EPParams:
+    """Stack + place two experts for EP serving (expert 0 = high-noise,
+    expert 1 = low-noise, matching the σ ≥ boundary convention)."""
+    mesh = make_ep_mesh(devices=devices)
+    others, blocks = ep_stack_experts(params_high, params_low, num_layers)
+    sh_r = NamedSharding(mesh, P())
+    others = jax.tree_util.tree_map(lambda l: jax.device_put(l, sh_r), others)
+    blocks = shard_expert_params(blocks, mesh)
+    return EPParams(others, blocks, mesh)

@@ -322,6 +322,25 @@ class TI2VPipeline:
         σ ≥ boundary."""
         sig = sampling_sigmas(steps, shift)
 
+        if type(params_high).__name__ == "EPParams":
+            # expert-parallel placement: each ep group stores one expert,
+            # the active expert's layers stream over ICI
+            # (parallel/expert.py; params_low ignored — both experts live
+            # inside the EPParams)
+            from ..parallel.expert import ep_dit_apply
+
+            def mk_expert(e):
+                def denoise(latent, t_frame):
+                    return ep_dit_apply(
+                        self.dit, params_high.others, params_high.blocks,
+                        params_high.mesh, e, latent.astype(jnp.bfloat16),
+                        t_frame, ctx, packed=False,
+                        attn_impl=self.attn_impl).astype(latent.dtype)
+                return denoise
+
+            return samplers.dual_model_euler_sample(
+                mk_expert(0), mk_expert(1), noise, sig, boundary=boundary)
+
         def mk(params):
             def denoise(latent, t_frame):
                 return self.dit.apply(
