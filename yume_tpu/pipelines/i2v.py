@@ -413,7 +413,8 @@ class I2VPipeline:
         weight HBM — the path that fits 14B (28 GB bf16) on one 16 GB chip."""
         from ..models.quantized import quantize_dit_blocks
 
-        if not isinstance(self.dit_params, tuple):
+        if (not isinstance(self.dit_params, tuple)
+                and type(self.dit_params).__name__ != "PPParams"):
             self.dit_params = quantize_dit_blocks(
                 self.dit_params, self.config.dit.num_layers, bits=bits)
 

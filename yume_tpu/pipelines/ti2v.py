@@ -408,7 +408,8 @@ class TI2VPipeline:
         unpacked t2v first segment and TeaCache keep the bf16 params)."""
         from ..models.quantized import quantize_dit_blocks
 
-        if not isinstance(self.dit_params, tuple):
+        if (not isinstance(self.dit_params, tuple)
+                and type(self.dit_params).__name__ != "PPParams"):
             self.dit_params = quantize_dit_blocks(
                 self.dit_params, self.config.dit.num_layers, bits=bits)
 

@@ -160,6 +160,19 @@ def load_models(args):
     from ..sample import load_pipeline
 
     cfg, pipe = load_pipeline(args)
+    if getattr(args, "sp", 1) > 1:
+        from ..parallel.mesh import make_mesh, make_usp_mesh
+
+        if args.sp_kind == "usp":
+            pipe.mesh = make_usp_mesh(data=1, fsdp=1, sp_u=2,
+                                      sp_r=args.sp // 2,
+                                      devices=jax.devices()[: args.sp])
+        else:
+            pipe.mesh = make_mesh(data=1, fsdp=1, sp=args.sp,
+                                  devices=jax.devices()[: args.sp])
+        pipe.sp_kind = args.sp_kind
+    if getattr(args, "pp", 0) > 1:
+        pipe.parallelize_pp(args.pp)
     if getattr(args, "quant", "none") != "none":
         STATE["quant_bits"] = {"int8": 8, "int4": 4}[args.quant]
     if getattr(args, "memory_optimization", False):
@@ -437,6 +450,15 @@ def build_argparser():
     p.add_argument("--refiner_model", default=None,
                    help="local InternVL-style model dir for /api/refine_prompt")
     p.add_argument("--seed", type=int, default=0)
+    # multi-chip serving (same semantics as the sample CLI)
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel degree for segment denoising")
+    p.add_argument("--sp_kind", default="ulysses",
+                   choices=["ulysses", "ring", "usp"])
+    p.add_argument("--pp", type=int, default=0,
+                   help="pipeline-parallel stages for the bf16 trunk")
+    p.add_argument("--w8a8", action="store_true",
+                   help="int8 MXU matmuls for the big block matmuls")
     return p
 
 
