@@ -93,3 +93,51 @@ def test_single_step_pipeline_smoke_on_chip():
         p, x, t, c, packed=True, latent_frame_zero=lfz))(params, x, t, ctx)
     assert out.shape == (1, lfz, 16, 16, cfg.out_dim)
     assert np.isfinite(float(jnp.sum(out.astype(jnp.float32))))
+
+
+def test_quantized_trunk_on_chip_matches_bf16():
+    """int4 scan trunk + TeaCache delta cache + W8A8 MXU matmuls run ON THE
+    CHIP and stay within quantization error of the bf16 forward (the CPU
+    suite proves exact math; this proves the real-TPU lowering)."""
+    import dataclasses
+
+    from yume_tpu.configs import DiTConfig
+    from yume_tpu.models.dit import WanDiT
+    from yume_tpu.models.quantized import int8_dit_apply, quantize_dit_blocks
+
+    cfg = DiTConfig(model_type="ti2v", in_dim=8, out_dim=8, dim=256,
+                    ffn_dim=512, freq_dim=64, text_dim=32, text_len=32,
+                    num_heads=2, num_layers=2, framepack=True)
+    dit = WanDiT(cfg, dtype=jnp.bfloat16)
+    lfz = 2
+    x = _rand(50, (1, 3 + lfz, 16, 16, cfg.in_dim))
+    t = jnp.zeros((1, 3 + lfz)).at[:, -lfz:].set(600.0)
+    ctx = _rand(51, (1, cfg.text_len, cfg.text_dim))
+    params = dit.init(jax.random.PRNGKey(0), x, t, ctx, packed=True,
+                      latent_frame_zero=lfz)
+    hk = params["params"]["head"]["head"]["kernel"]
+    params["params"]["head"]["head"]["kernel"] = (
+        jax.random.normal(jax.random.PRNGKey(7), hk.shape, hk.dtype) * 0.02)
+
+    dense = jax.jit(lambda p: dit.apply(
+        p, x, t, ctx, packed=True, latent_frame_zero=lfz))(params)
+    d = np.asarray(dense, np.float32)
+
+    other, stacked = quantize_dit_blocks(params, cfg.num_layers, bits=4)
+    out4, cache = jax.jit(lambda o, s: int8_dit_apply(
+        dit, o, s, x, t, ctx, latent_frame_zero=lfz,
+        return_cache=True))(other, stacked)
+    rel = np.linalg.norm(np.asarray(out4, np.float32) - d) / np.linalg.norm(d)
+    assert rel < 0.15, rel
+
+    cached = jax.jit(lambda o, s, c: int8_dit_apply(
+        dit, o, s, x, t, ctx, latent_frame_zero=lfz,
+        block_cache=c))(other, stacked, cache)
+    rel_c = np.linalg.norm(np.asarray(cached, np.float32) - d) / np.linalg.norm(d)
+    assert rel_c < 0.2, rel_c
+
+    dit_q = WanDiT(dataclasses.replace(cfg, w8a8=True), dtype=jnp.bfloat16)
+    w8 = jax.jit(lambda p: dit_q.apply(
+        p, x, t, ctx, packed=True, latent_frame_zero=lfz))(params)
+    rel_w = np.linalg.norm(np.asarray(w8, np.float32) - d) / np.linalg.norm(d)
+    assert rel_w < 0.1, rel_w
