@@ -155,3 +155,21 @@ def test_pipelined_composes_with_delta_cache(rng_np):
                                 block_cache=cache, pipelined=True)
     np.testing.assert_allclose(np.asarray(out_cached), np.asarray(dense),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_quantize_host_blocks_matches_device_path(rng_np):
+    """Streamed host→device quantization (the single-chip 14B loader) must
+    produce the same stacked trunk as quantize_dit_blocks."""
+    import numpy as np_
+
+    from yume_tpu.models.quantized import quantize_host_blocks
+
+    cfg, dit, params, x, t, ctx, dense = _setup(rng_np, 128, 256, 8)
+    host = jax.tree_util.tree_map(lambda l: np_.asarray(l, np_.float32),
+                                  params)
+    other_h, stacked_h = quantize_host_blocks(host, cfg.num_layers, bits=4)
+    out = int8_dit_apply(dit, other_h, stacked_h, x, t, ctx,
+                         latent_frame_zero=2, attn_impl="xla")
+    d = np_.asarray(dense)
+    rel = np_.linalg.norm(np_.asarray(out) - d) / np_.linalg.norm(d)
+    assert rel < 0.12, rel  # bf16 cast + int4 storage error only

@@ -20,6 +20,7 @@ from typing import Any, Optional, Tuple
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.dit import DiTBlock, WanDiT
 
@@ -104,6 +105,58 @@ def quantize_dit_blocks(params: Any, num_layers: int, bits: int = 8):
     stacked_q = jax.tree_util.tree_map(qfn, stacked)
     other = {k: v for k, v in tree.items() if not k.startswith("blocks_")}
     return {"params": other}, stacked_q
+
+
+def quantize_host_blocks(host_tree: Any, num_layers: int, bits: int = 8):
+    """Host (numpy) WanDiT param tree → (other bf16 on device, stacked
+    quantized blocks on device) WITHOUT ever materializing the full bf16
+    trunk in HBM: one block visits the device at a time, is quantized, and
+    its bf16 source is freed before the next (synced per block — async
+    dispatch would otherwise queue all 40 bf16 blocks at once).
+
+    The single-chip 14B path: a 28 GB bf16 trunk can never be resident on a
+    16 GB chip, so the usual quantize_dit_blocks (full tree in, stacked out)
+    cannot run; this streams host→int4 directly. Works for converted torch
+    checkpoints and synthesized host trees alike.
+    """
+    tree = host_tree["params"] if "params" in host_tree else host_tree
+    qfn = {16: lambda w: w, 8: _quantize_leaf, 4: _quantize_leaf4}[bits]
+
+    qblocks = []
+    for i in range(num_layers):
+        blk = jax.tree_util.tree_map(
+            lambda l: jnp.asarray(np.asarray(l), jnp.bfloat16),
+            tree[f"blocks_{i}"])
+        q = jax.tree_util.tree_map(qfn, blk)
+        # force execution + free the bf16 sources before the next block
+        # (fetch one element — on relayed PJRT block_until_ready does not
+        # force execution)
+        for leaf in jax.tree_util.tree_leaves(
+                q, is_leaf=lambda l: isinstance(l, (Q8, Q4))):
+            arrs = ([leaf.q, leaf.scale]
+                    if isinstance(leaf, (Q8, Q4)) else [leaf])
+            for a in arrs:
+                _ = np.asarray(a.ravel()[:1])
+        del blk
+        qblocks.append(q)
+    # stack leaf-wise, freeing each leaf's per-layer slices immediately —
+    # a whole-tree jnp.stack would briefly need singles+stacked (2× the
+    # quantized bytes) resident, which overflows at 14B/int4 on 16 GB
+    flats = [jax.tree_util.tree_flatten(qb)[0] for qb in qblocks]
+    treedef = jax.tree_util.tree_structure(qblocks[0])
+    del qblocks
+    stacked_leaves = []
+    for li in range(len(flats[0])):
+        st = jnp.stack([f[li] for f in flats])
+        _ = np.asarray(st.ravel()[:1])  # force before freeing the slices
+        for f in flats:
+            f[li] = None
+        stacked_leaves.append(st)
+    stacked_q = jax.tree_util.tree_unflatten(treedef, stacked_leaves)
+    other = {"params": jax.tree_util.tree_map(
+        lambda l: jnp.asarray(np.asarray(l), jnp.bfloat16),
+        {k: v for k, v in tree.items() if not k.startswith("blocks_")})}
+    return other, stacked_q
 
 
 def int8_dit_apply(

@@ -71,6 +71,10 @@ class I2VPipeline:
     # CFG parallelism (xDiT cfg_degree): cond+uncond as one batch-2B call,
     # splittable across a data mesh axis
     cfg_parallel: bool = False
+    # host-offload hook: called with "vae" / "dit" at phase boundaries so a
+    # driver-level OffloadSlot can shuttle models through HBM (single-chip
+    # 14B: T5-XXL + int4 trunk + VAE don't fit together)
+    phase_cb: Any = None
     # streaming-VAE conditioning cache for autoregressive rollouts
     # (_encode_history_incremental)
     _cond_cache: Any = None
@@ -83,9 +87,14 @@ class I2VPipeline:
         *,
         init_t5: bool = False,
         init_clip: bool = False,
+        init_dit: bool = True,
         latent_shape: Tuple[int, int, int] = (3, 8, 8),
         dtype=jnp.bfloat16,
     ) -> "I2VPipeline":
+        """``init_dit=False`` leaves ``dit_params=None`` — the single-chip
+        14B quantized path streams weights in via
+        models/quantized.py::quantize_host_blocks instead (a 28 GB bf16
+        init cannot be resident on a 16 GB chip)."""
         d_rng, v_rng, t_rng, c_rng = jax.random.split(rng, 4)
         dit = WanDiT(config.dit, dtype=dtype)
         f, h, w = latent_shape
@@ -96,7 +105,9 @@ class I2VPipeline:
         if config.dit.image_context_len:
             clip_ctx = jnp.zeros((1, config.dit.image_context_len,
                                   config.clip.dim if config.clip else 1280))
-        if dtype == jnp.bfloat16 and config.dit.dim >= 1024:
+        if not init_dit:
+            dit_params = None
+        elif dtype == jnp.bfloat16 and config.dit.dim >= 1024:
             # low-memory shape-based init (see TI2VPipeline.from_config);
             # NOTE: 14B bf16 params are ~28 GB — single-chip v5e needs the
             # fsdp-sharded path (parallel/mesh.py) or quantisation
@@ -120,12 +131,28 @@ class I2VPipeline:
         s = config.vae.stride
         video = jnp.zeros((1, 1 + (f - 1) * s[0], h * s[1], w * s[2], 3))
         vae_params = vae.init(v_rng, video)
+        if dtype == jnp.bfloat16:
+            # bf16 autocast parity with the reference; halves resident bytes
+            vae_params = jax.tree_util.tree_map(
+                lambda l: l.astype(jnp.bfloat16), vae_params)
 
         t5 = t5_params = clip = clip_params = None
         if init_t5:
             t5 = T5Encoder(config.t5, dtype=dtype)
             ids = jnp.zeros((1, config.t5.text_len), jnp.int32)
-            t5_params = t5.init(t_rng, ids, jnp.ones_like(ids))
+            if dtype == jnp.bfloat16 and config.t5.dim >= 1024:
+                # umT5-XXL: a full fp32 init is ~19 GB — bf16 from shapes
+                # (real weights come from the converter anyway)
+                t5_shapes = jax.eval_shape(
+                    lambda k: t5.init(k, ids, jnp.ones_like(ids)), t_rng)
+                t5_params = jax.tree_util.tree_map(
+                    lambda sh: (jax.random.normal(t_rng, sh.shape,
+                                                  jnp.bfloat16) * 0.02
+                                if sh.dtype == jnp.float32
+                                else jnp.zeros(sh.shape, sh.dtype)),
+                    t5_shapes)
+            else:
+                t5_params = t5.init(t_rng, ids, jnp.ones_like(ids))
         if init_clip and config.clip is not None:
             clip = CLIPVisual(config.clip, dtype=dtype)
             img = jnp.zeros((1, config.clip.image_size, config.clip.image_size, 3))
@@ -158,6 +185,19 @@ class I2VPipeline:
 
     def _decode(self, z):
         return self._decode_p(self.vae_params, z)
+
+    def decode_auto(self, z):
+        """Memory-aware decode: full-clip when small, exact cache-carried
+        streaming (frame-by-frame) when full-clip decoder activations would
+        not fit next to the resident DiT (single-chip 14B at 544×960)."""
+        s = self.config.vae.stride
+        out_px = z.shape[1] * s[0] * z.shape[2] * s[1] * z.shape[3] * s[2]
+        if out_px * 96 * 4 < (2 << 30):
+            return self._decode(z)
+        from ..models.vae import streaming_decode
+
+        return streaming_decode(self.vae, self.vae_params,
+                                z.astype(jnp.bfloat16))
 
     def make_conditioning(
         self,
@@ -452,11 +492,15 @@ class I2VPipeline:
         f_lat = (frame_num - 1) // s[0] + 1
         lat_h, lat_w = h // s[1], w // s[2]
 
+        if self.phase_cb:
+            self.phase_cb("vae")
         y = self.make_conditioning(cond_frames, frame_num,
                                    history_mode=history_mode)
         clip_frame = cond_frames[:, -1] if history_mode else cond_frames[:, 0]
         clip_ctx = (self.clip_features(clip_frame)
                     if self.clip is not None else None)
+        if self.phase_cb:
+            self.phase_cb("dit")
         noise = jax.random.normal(
             jax.random.PRNGKey(seed),
             (b, f_lat, lat_h, lat_w, self.config.vae.z_dim), jnp.float32)
@@ -477,7 +521,9 @@ class I2VPipeline:
             latents = self._sample_cfg(self.dit_params, noise, y, ctx,
                                        ctx_null, clip_ctx, steps, shift,
                                        guide_scale)
-        return latents, self._decode(latents)
+        if self.phase_cb:
+            self.phase_cb("vae")
+        return latents, self.decode_auto(latents)
 
     def generate_next(
         self,

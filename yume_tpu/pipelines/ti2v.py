@@ -92,7 +92,18 @@ class TI2VPipeline:
         if init_t5:
             t5 = T5Encoder(config.t5, dtype=dtype)
             ids = jnp.zeros((1, config.t5.text_len), jnp.int32)
-            t5_params = t5.init(t_rng, ids, jnp.ones_like(ids))
+            if dtype == jnp.bfloat16 and config.t5.dim >= 1024:
+                # umT5-XXL: a full fp32 init is ~19 GB — bf16 from shapes
+                t5_shapes = jax.eval_shape(
+                    lambda k: t5.init(k, ids, jnp.ones_like(ids)), t_rng)
+                t5_params = jax.tree_util.tree_map(
+                    lambda sh: (jax.random.normal(t_rng, sh.shape,
+                                                  jnp.bfloat16) * 0.02
+                                if sh.dtype == jnp.float32
+                                else jnp.zeros(sh.shape, sh.dtype)),
+                    t5_shapes)
+            else:
+                t5_params = t5.init(t_rng, ids, jnp.ones_like(ids))
         return cls(config, dit, dit_params, vae, vae_params, t5, t5_params)
 
     # -- conditioning --------------------------------------------------------

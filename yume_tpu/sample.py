@@ -73,6 +73,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="int8×int8 MXU matmuls for the big block matmuls "
                         "(2x bf16 MXU peak on v5e; composes with --int4/"
                         "--int8 weight storage)")
+    p.add_argument("--memory_optimization", action="store_true",
+                   help="host-offload T5/VAE between phases (≙ reference "
+                        "webapp CPU-GPU shuttling): required for single-chip "
+                        "14B e2e where T5-XXL + int4 DiT + VAE exceed HBM")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output_dir", default="./outputs")
     p.add_argument("--smoke", action="store_true", help="tiny shapes, random weights")
@@ -114,14 +118,24 @@ def load_pipeline(args):
         cfg = dataclasses.replace(
             cfg, dit=dataclasses.replace(cfg.dit, w8a8=True))
     cls = I2VPipeline if (cfg.name == "i2v-14B" and not args.smoke) else TI2VPipeline
+    # init shapes: packed mode needs at least one history frame beyond the
+    # latent_frame_zero tail (the 14B lfz=9 breaks a 2-frame init)
+    f_init = 3 if args.smoke else cfg.latent_frame_zero + 1
+    extra = {}
+    if cls is I2VPipeline:
+        # 14B quantized serving: never materialize the 28 GB bf16 trunk —
+        # weights stream host→int4 later (quantize_host_blocks)
+        extra = dict(init_clip=True,
+                     init_dit=not (args.int8 or args.int4))
     pipe = cls.from_config(
         cfg, jax.random.PRNGKey(args.seed), init_t5=True,
-        latent_shape=(3, 4, 4) if args.smoke else (2, 16, 16),
+        latent_shape=(f_init, 4, 4) if args.smoke else (f_init, 16, 16),
         dtype=jnp.float32 if args.smoke else jnp.bfloat16,
-        **(dict(init_clip=True) if cls is I2VPipeline else {}),
+        **extra,
     )
     if args.ckpt_dir:
-        load_torch_weights(pipe, args.ckpt_dir)
+        load_torch_weights(pipe, args.ckpt_dir,
+                           load_dit=pipe.dit_params is not None)
     return cfg, pipe
 
 
@@ -147,6 +161,37 @@ def load_torch_weights(pipe, ckpt_dir: str, *, load_dit: bool = True):
     if os.path.exists(t5_path):
         pipe.t5_params = convert_t5_state_dict(
             torch.load(t5_path, map_location="cpu"), pipe.config.t5.num_layers)
+
+
+def _host_dit_tree(args, cfg, pipe):
+    """Host (numpy) DiT param tree for the streamed-quantization path:
+    the converted torch checkpoint when --ckpt_dir is given, otherwise a
+    synthesized random tree (capability/perf runs)."""
+    from .utils.checkpoint import (convert_dit_state_dict,
+                                   load_safetensors_state_dict)
+
+    if args.ckpt_dir and os.path.isdir(args.ckpt_dir):
+        try:
+            sd = load_safetensors_state_dict(args.ckpt_dir)
+            return convert_dit_state_dict(sd, cfg.dit.num_layers)
+        except FileNotFoundError:
+            pass
+    rng = np.random.default_rng(args.seed)
+    lfz = cfg.latent_frame_zero
+    x = jnp.zeros((1, lfz + 1, 4, 4, cfg.dit.in_dim))
+    t = jnp.zeros((1, lfz + 1))
+    ctx = jnp.zeros((1, cfg.dit.text_len, cfg.dit.text_dim))
+    clip_ctx = (jnp.zeros((1, cfg.dit.image_context_len, cfg.dit.image_dim))
+                if cfg.dit.image_context_len else None)
+    shapes = jax.eval_shape(
+        lambda k: pipe.dit.init(k, x, t, ctx, packed=True,
+                                latent_frame_zero=lfz,
+                                clip_context=clip_ctx),
+        jax.random.PRNGKey(args.seed))
+    return jax.tree_util.tree_map(
+        lambda s: (rng.standard_normal(s.shape, dtype=np.float32) * 0.02
+                   if s.size > 1 else np.zeros(s.shape, np.float32)),
+        shapes)
 
 
 def main(argv=None):
@@ -176,19 +221,61 @@ def main(argv=None):
         pipe.cfg_parallel = True
     if args.pp > 1:
         pipe.parallelize_pp(args.pp)
+    from .utils.logging_ import phase
+
+    slot = None
+    if args.memory_optimization:
+        # park T5/VAE in host RAM; each visits HBM only for its phase
+        # (≙ reference webapp memory_optimization, webapp_single_gpu.py:
+        # 601-608,819-852) — the configuration that fits 14B e2e on 16 GB.
+        # Runs BEFORE quantization so T5-XXL has left HBM by the time the
+        # int4 trunk streams in.
+        from .utils.offload import OffloadSlot
+
+        slot = OffloadSlot()
+        if pipe.t5_params is not None:
+            slot.register("t5", pipe.t5_params)
+            pipe.t5_params = None
+        slot.register("vae", pipe.vae_params)
+        pipe.vae_params = None
+
+        def _phase(name):
+            if name == "t5":
+                pipe.t5_params = slot.use("t5")
+                pipe.vae_params = None
+            elif name == "vae":
+                pipe.vae_params = slot.use("vae")
+                pipe.t5_params = None
+            else:  # dit
+                pipe.t5_params = None
+                pipe.vae_params = None
+
+        if hasattr(pipe, "phase_cb"):
+            pipe.phase_cb = _phase
+
     # the quantized trunk runs packed segments AND unpacked euler t2v;
     # only multistep-solver t2v still needs the bf16 trunk (quantized after
     # its first segment)
     if (args.int8 or args.int4) and not (
             args.t2v and args.sample_solver != "euler"):
-        pipe.quantize_int8(bits=4 if args.int4 else 8)
+        bits = 4 if args.int4 else 8
+        if pipe.dit_params is None:
+            # 14B: weights stream host→quantized, one block on-device at a
+            # time (quantize_host_blocks) — the bf16 trunk never exists
+            from .models.quantized import quantize_host_blocks
+
+            pipe.dit_params = quantize_host_blocks(
+                _host_dit_tree(args, cfg, pipe), cfg.dit.num_layers, bits)
+        else:
+            pipe.quantize_int8(bits=bits)
     tok = Tokenizer(args.tokenizer, seq_len=cfg.t5.text_len,
                     vocab_size=cfg.t5.vocab_size)
 
-    from .utils.logging_ import phase
-
     def encode(text):
         with phase("t5_encode"):
+            if slot is not None:
+                pipe.t5_params = slot.use("t5")
+                pipe.vae_params = None
             ids, mask = tok([text])
             return pipe.encode_text(jnp.asarray(ids), jnp.asarray(mask))
 
@@ -221,16 +308,22 @@ def main(argv=None):
         if args.profile_dir:
             _prof.enter_context(profile(args.profile_dir))
         rc = _run(args, cfg, pipe, encode, captions, sampler,
-                  size, frame_num, steps)
+                  size, frame_num, steps, slot)
     if args.profile_dir:
         phase_summary()
     return rc
 
 
-def _run(args, cfg, pipe, encode, captions, sampler, size, frame_num, steps):
+def _run(args, cfg, pipe, encode, captions, sampler, size, frame_num, steps,
+         slot=None):
     from .pipelines.i2v import I2VPipeline
     from .utils.logging_ import phase
     from .utils.video import load_image, save_video
+
+    def vae_phase():
+        if slot is not None:
+            pipe.vae_params = slot.use("vae")
+            pipe.t5_params = None
 
     t0 = time.time()
     if isinstance(pipe, I2VPipeline):
@@ -268,6 +361,7 @@ def _run(args, cfg, pipe, encode, captions, sampler, size, frame_num, steps):
     if args.t2v or args.jpg_dir is None:
         ctx = encode(captions[0])
         with phase("generate"):
+            vae_phase()  # 5B fits with VAE resident; internal decode needs it
             video = pipe.generate_t2v(
                 ctx, size=size if not args.smoke else (32, 32),
                 frame_num=frame_num, steps=steps, shift=args.shift,
@@ -277,6 +371,7 @@ def _run(args, cfg, pipe, encode, captions, sampler, size, frame_num, steps):
                 guide_scale=args.guide_scale,
             )
         with phase("vae_encode"):
+            vae_phase()
             first_latents = pipe.encode_auto(video)
         if args.int8 or args.int4:
             pipe.quantize_int8(bits=4 if args.int4 else 8)
@@ -289,6 +384,7 @@ def _run(args, cfg, pipe, encode, captions, sampler, size, frame_num, steps):
         # repeat-N first-frame conditioning (reference sample.py:711 uses 16;
         # clamp to the requested duration)
         frames = jnp.asarray(np.repeat(img[None], min(16, frame_num), 0))[None]
+        vae_phase()
         first_latents, _ = pipe.encode_image_conditioning(frames, frame_num)
         ctx = encode(captions[0])
         with phase("generate"):
@@ -297,6 +393,7 @@ def _run(args, cfg, pipe, encode, captions, sampler, size, frame_num, steps):
                 steps=steps, shift=args.shift or cfg.sample_shift,
                 seed=args.seed, sampler=sampler)
         with phase("vae_decode"):
+            vae_phase()
             video = pipe.decode_auto(first_latents)
 
     out0 = os.path.join(args.output_dir, "segment_000.mp4")
@@ -315,6 +412,7 @@ def _run(args, cfg, pipe, encode, captions, sampler, size, frame_num, steps):
                 latents, ctx, steps=steps, shift=args.shift or 7.0,
                 seed=args.seed + s, sampler=sampler)
         with phase("vae_decode"):
+            vae_phase()
             tail_video = pipe.decode_auto(latents[:, -cfg.latent_frame_zero:])
         out = os.path.join(args.output_dir, f"segment_{s:03d}.mp4")
         save_video(np.asarray(tail_video[0]), out, fps=cfg.sample_fps)
