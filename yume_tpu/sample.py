@@ -240,16 +240,25 @@ def main(argv=None):
         pipe.vae_params = None
 
         def _phase(name):
+            # slot.use evicts every other slot's device copy; drop the
+            # pipeline's own references so the buffers actually free
             if name == "t5":
-                pipe.t5_params = slot.use("t5")
+                if "dit_q" in slot:
+                    pipe.dit_params = None
                 pipe.vae_params = None
+                pipe.t5_params = slot.use("t5")
             elif name == "vae":
-                pipe.vae_params = slot.use("vae")
+                if "dit_q" in slot:
+                    pipe.dit_params = None
                 pipe.t5_params = None
+                pipe.vae_params = slot.use("vae")
             else:  # dit
                 pipe.t5_params = None
                 pipe.vae_params = None
+                if "dit_q" in slot:
+                    pipe.dit_params = slot.use("dit_q")
 
+        slot.phase = _phase
         if hasattr(pipe, "phase_cb"):
             pipe.phase_cb = _phase
 
@@ -266,6 +275,12 @@ def main(argv=None):
 
             pipe.dit_params = quantize_host_blocks(
                 _host_dit_tree(args, cfg, pipe), cfg.dit.num_layers, bits)
+            if slot is not None and getattr(pipe, "phase_cb", None):
+                # the int4 trunk (8 GiB) cannot coexist with T5-XXL
+                # (9.4 GiB): it joins the phase shuttle like the others
+                slot.register("dit_q", pipe.dit_params)
+                pipe.dit_params = None
+                pipe.phase_cb("dit")
         else:
             pipe.quantize_int8(bits=bits)
     tok = Tokenizer(args.tokenizer, seq_len=cfg.t5.text_len,
@@ -274,8 +289,7 @@ def main(argv=None):
     def encode(text):
         with phase("t5_encode"):
             if slot is not None:
-                pipe.t5_params = slot.use("t5")
-                pipe.vae_params = None
+                slot.phase("t5")
             ids, mask = tok([text])
             return pipe.encode_text(jnp.asarray(ids), jnp.asarray(mask))
 
@@ -322,8 +336,7 @@ def _run(args, cfg, pipe, encode, captions, sampler, size, frame_num, steps,
 
     def vae_phase():
         if slot is not None:
-            pipe.vae_params = slot.use("vae")
-            pipe.t5_params = None
+            slot.phase("vae")
 
     t0 = time.time()
     if isinstance(pipe, I2VPipeline):
