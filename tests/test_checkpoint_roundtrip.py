@@ -22,6 +22,9 @@ apply bit-compatibly.
 import json
 import os
 
+import jax
+import jax.numpy as jnp
+
 import numpy as np
 import pytest
 
@@ -240,3 +243,32 @@ def test_async_checkpointer_roundtrip(tmp_path):
                                np.arange(8.0) + 3)
     kept = sorted(p.name for p in tmp_path.iterdir() if p.name.isdigit())
     assert kept == ["2", "3"]  # max_to_keep pruned step 1
+
+
+def test_load_torch_weights_strict_missing_raises(tmp_path):
+    """A checkpoint dir missing components must RAISE (VERDICT r3 task 8:
+    bad paths abort instead of leaving random-init modules behind)."""
+    import pytest
+
+    from yume_tpu.configs import (DiTConfig, PipelineConfig, T5Config,
+                                  VAEConfig)
+    from yume_tpu.pipelines.ti2v import TI2VPipeline
+    from yume_tpu.sample import load_torch_weights
+
+    cfg = PipelineConfig(
+        name="tiny", dit=DiTConfig(model_type="ti2v", in_dim=8, out_dim=8,
+                                   dim=64, ffn_dim=128, freq_dim=32,
+                                   text_dim=16, num_heads=4, num_layers=1,
+                                   framepack=True),
+        vae=VAEConfig(z_dim=8, base_dim=8, dim_mult=(1, 2, 2),
+                      num_res_blocks=1, temporal_downsample=(True, False),
+                      stride=(2, 8, 8), patchify=2),
+        t5=T5Config(vocab_size=256, dim=16, dim_attn=16, dim_ffn=24,
+                    num_heads=2, num_layers=1, text_len=16),
+        latent_frame_zero=2)
+    pipe = TI2VPipeline.from_config(cfg, jax.random.PRNGKey(0),
+                                    dtype=jnp.float32)
+    with pytest.raises(RuntimeError, match="missing.*Wan2.2_VAE"):
+        load_torch_weights(pipe, str(tmp_path), load_dit=False)
+    # non-strict loads the present subset silently
+    load_torch_weights(pipe, str(tmp_path), load_dit=False, strict=False)

@@ -12,24 +12,51 @@ from __future__ import annotations
 
 import hashlib
 import re
+import warnings
 from typing import List, Optional, Tuple
 
 import numpy as np
 
 
+def resolve_tokenizer_path(explicit, ckpt_dir):
+    """Explicit path wins; otherwise the reference checkpoint layout ships
+    the umt5 tokenizer inside checkpoint_dir (config.t5_tokenizer =
+    'google/umt5-xxl', wan/text2video.py:74)."""
+    import os
+
+    if explicit or not ckpt_dir:
+        return explicit
+    cand = os.path.join(ckpt_dir, "google", "umt5-xxl")
+    return cand if os.path.isdir(cand) else None
+
+
 class Tokenizer:
     def __init__(self, name_or_path: Optional[str] = None, *, seq_len: int = 512,
-                 vocab_size: int = 256384, clean: str = "whitespace"):
+                 vocab_size: int = 256384, clean: str = "whitespace",
+                 strict: bool = True, warn_fallback: bool = True):
+        """``strict`` (default): an explicit ``name_or_path`` that fails to
+        load RAISES instead of silently degrading — with real T5 weights the
+        hash fallback produces garbage conditioning (the reference
+        hard-requires its tokenizer, wan/modules/tokenizers.py). The hash
+        fallback only engages when NO tokenizer path was given, and then
+        warns once."""
         self.seq_len = seq_len
         self.vocab_size = vocab_size
         self.clean = clean
         self._hf = None
+        self._warned = not warn_fallback
         if name_or_path:
             try:
                 from transformers import AutoTokenizer
 
                 self._hf = AutoTokenizer.from_pretrained(name_or_path)
-            except Exception:
+            except Exception as e:
+                if strict:
+                    raise RuntimeError(
+                        f"tokenizer {name_or_path!r} failed to load: {e}. "
+                        "Pass a valid local umt5-xxl tokenizer dir, or omit "
+                        "the path to use the hash fallback (tests/smoke "
+                        "only).") from e
                 self._hf = None
 
     def _clean(self, text: str) -> str:
@@ -47,6 +74,13 @@ class Tokenizer:
             return (enc["input_ids"].astype(np.int32),
                     enc["attention_mask"].astype(np.int32))
         # deterministic fallback: word-hash ids (+1 eos)
+        if not self._warned:
+            self._warned = True
+            warnings.warn(
+                "Tokenizer: no tokenizer path given — using the "
+                "deterministic hash fallback (fine for tests/smoke; with "
+                "real T5 weights pass --tokenizer <local umt5-xxl dir>)",
+                stacklevel=2)
         ids = np.zeros((len(texts), self.seq_len), np.int32)
         mask = np.zeros((len(texts), self.seq_len), np.int32)
         for i, t in enumerate(texts):

@@ -153,19 +153,28 @@ def cfg_euler_sample_segment(
     hist0 = s0 * noise[:, :f_hist] + (1.0 - s0) * clean_history
     latent = jnp.concatenate([hist0, noise[:, f_hist:]], axis=1)
 
-    ctx2 = jnp.concatenate([ctx, ctx_null], axis=0) if batched_cfg else None
+    ctx2 = (jnp.concatenate([ctx, ctx_null], axis=0)
+            if batched_cfg and ctx_null is not None else None)
 
     def step(latent, sig):
         s_i, s_n = sig[0], sig[1]
         t_frame = jnp.full((b, f), s_i * 1000.0)
-        if batched_cfg:
-            v2 = denoise_fn(jnp.concatenate([latent, latent], axis=0),
-                            jnp.concatenate([t_frame, t_frame], axis=0), ctx2)
-            v_c, v_u = v2[:b], v2[b:]
+        if ctx_null is None:
+            # distilled few-step serving: guidance is baked into the
+            # weights (the 5B 4-step trick, reference sample_5b.py
+            # cond-only loop), so one forward per step — halves the 14B
+            # per-segment cost at any step count
+            v = denoise_fn(latent, t_frame, ctx)
         else:
-            v_c = denoise_fn(latent, t_frame, ctx)
-            v_u = denoise_fn(latent, t_frame, ctx_null)
-        v = v_u + guide_scale * (v_c - v_u)
+            if batched_cfg:
+                v2 = denoise_fn(
+                    jnp.concatenate([latent, latent], axis=0),
+                    jnp.concatenate([t_frame, t_frame], axis=0), ctx2)
+                v_c, v_u = v2[:b], v2[b:]
+            else:
+                v_c = denoise_fn(latent, t_frame, ctx)
+                v_u = denoise_fn(latent, t_frame, ctx_null)
+            v = v_u + guide_scale * (v_c - v_u)
         v_tail = v[:, -latent_frame_zero:]
         tail = latent[:, -latent_frame_zero:] + (s_n - s_i) * v_tail
         hist = s_n * noise[:, :f_hist] + (1.0 - s_n) * clean_history
@@ -324,6 +333,9 @@ def time_travel_sample_segment(
     interval: int = 2,
     travel_steps: int = 2,
     history_t: Optional[jax.Array] = None,
+    sde: bool = False,
+    rng: Optional[jax.Array] = None,
+    eta: float = 0.3,
 ) -> jax.Array:
     """Time-travel (lookahead) sampling, frozen-history form (the reference
     loop of fastvideo/sample/sample_tts.py:690-854 adapted to the 5B
@@ -334,7 +346,9 @@ def time_travel_sample_segment(
     forward to step i+``travel_steps``−1, then REDO step i from the original
     state using the last lookahead velocity (the reference's splice-back —
     the lookahead velocity *replaces* the provisional one, sample_tts.py:
-    836-841).
+    836-841). With ``sde`` (the combined TTS mode, --sde --time_travel) an
+    Euler–Maruyama churn from the score estimate follows every Euler tail
+    update, outer and lookahead alike (reference :726-744).
     """
     b, f = latent.shape[:2]
     f_hist = f - latent_frame_zero
@@ -342,6 +356,10 @@ def time_travel_sample_segment(
         history_t = jnp.zeros((b, f_hist), jnp.float32)
     sig = np.asarray(sigmas, np.float32)
     n_steps = len(sig) - 1
+    if sde and rng is None:
+        raise ValueError("sde churn needs an rng")
+    rngs = iter(jax.random.split(rng, 4 * n_steps * max(1, travel_steps))
+                if sde else [])
 
     def t_frame_at(s_i):
         return jnp.concatenate(
@@ -351,7 +369,16 @@ def time_travel_sample_segment(
     def euler_tail(latent, s_i, s_n, v=None):
         if v is None:
             v = denoise_fn(latent, t_frame_at(s_i))
-        tail = latent[:, -latent_frame_zero:] + (s_n - s_i) * v[:, -latent_frame_zero:]
+        x_tail = latent[:, -latent_frame_zero:]
+        v_tail = v[:, -latent_frame_zero:]
+        tail = x_tail + (s_n - s_i) * v_tail
+        if sde:
+            dt = float(s_i - s_n)
+            score = Transport.score_from_velocity(
+                v_tail, x_tail, jnp.full((b,), float(s_i)))
+            eps = jax.random.normal(next(rngs), tail.shape, tail.dtype)
+            tail = tail + (eta ** 2) * float(s_i) * score * dt \
+                + eta * np.sqrt(max(2.0 * dt * float(s_i), 0.0)) * eps
         return jnp.concatenate([latent[:, :f_hist], tail], axis=1), v
 
     # static unrolled outer loop (steps are few at inference; keeps the

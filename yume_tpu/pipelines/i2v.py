@@ -473,7 +473,7 @@ class I2VPipeline:
         self,
         cond_frames: jax.Array,
         ctx: jax.Array,
-        ctx_null: jax.Array,
+        ctx_null: Optional[jax.Array],
         *,
         frame_num: int = 81,
         steps: int = 50,
@@ -485,7 +485,11 @@ class I2VPipeline:
     ) -> Tuple[jax.Array, jax.Array]:
         """One 14B segment: returns (latents [B, F_lat, h, w, 16], decoded
         video [B, frame_num, H, W, 3]). ``sampler``: 'euler' |
-        'teacache' (block-residual caching, ~28% fewer block evals)."""
+        'teacache' (block-residual caching, ~28% fewer block evals).
+        ``ctx_null=None`` is the DISTILLED few-step serving mode: one
+        cond-only forward per step (the 5B path's 4-step trick composed
+        with the 14B pipeline — guidance baked into distilled weights),
+        halving per-segment cost at any step count."""
         shift = self.config.sample_shift if shift is None else shift
         b, fc, h, w, _ = cond_frames.shape
         s = self.config.vae.stride
@@ -504,6 +508,17 @@ class I2VPipeline:
         noise = jax.random.normal(
             jax.random.PRNGKey(seed),
             (b, f_lat, lat_h, lat_w, self.config.vae.z_dim), jnp.float32)
+        if (type(self.dit_params).__name__ == "PPParams"
+                and sampler != "euler"):
+            # mirror TI2V's guard: only _sample_cfg routes PPParams through
+            # pp_dit_apply; the teacache/tts samplers would fall into the
+            # dense dit.apply branch and fail with an opaque flax error
+            raise NotImplementedError(
+                f"pp trunk supports the euler sampler, got {sampler!r}")
+        if ctx_null is None and sampler != "euler":
+            raise NotImplementedError(
+                "distilled (ctx_null=None) serving supports the euler "
+                f"sampler, got {sampler!r}")
         if sampler == "teacache":
             latents = self._sample_cfg_teacache(
                 self.dit_params, noise, y, ctx, ctx_null, clip_ctx, steps,

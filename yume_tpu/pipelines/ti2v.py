@@ -25,6 +25,18 @@ from ..models.t5 import T5Encoder
 from ..models.vae import WanVAE
 from ..utils.masks import masks_like
 
+# Live per-request progress callback for _sample_segment's io_callback.
+# A mutable slot (not a jit argument): the compiled program references the
+# stable _dispatch_progress fn, so swapping callbacks per request never
+# changes the jit cache key.
+_PROGRESS_SLOT: list = [None]
+
+
+def _dispatch_progress(sigma):
+    cb = _PROGRESS_SLOT[0]
+    if cb is not None:
+        cb(sigma)
+
 
 @dataclasses.dataclass(eq=False)
 class TI2VPipeline:
@@ -182,17 +194,20 @@ class TI2VPipeline:
 
     @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8))
     def _sample_segment(self, params, latent, ctx, history_t, steps, shift,
-                        lfz, progress_cb=None):
+                        lfz, progress=False):
         sig = sampling_sigmas(steps, shift)
 
         def denoise(lat, t_frame):
-            if progress_cb is not None:
+            if progress:
                 # per-step host progress (≙ the reference webapp's live step
-                # logging); ordered so steps report in sequence
+                # logging); ordered so steps report in sequence. The jit key
+                # carries only the static bool — the live callback sits in
+                # the module-level _PROGRESS_SLOT so per-request closures
+                # don't force a full retrace+recompile of the denoise program
                 import jax.experimental
 
                 jax.experimental.io_callback(
-                    progress_cb, None, t_frame[0, -1], ordered=True)
+                    _dispatch_progress, None, t_frame[0, -1], ordered=True)
             if isinstance(params, tuple):  # int8 trunk (quantize_int8())
                 from ..models.quantized import int8_dit_apply
 
@@ -246,8 +261,11 @@ class TI2VPipeline:
         if mode == "sde":
             return samplers.sde_euler_sample_segment(
                 denoise, latent, sig, lfz, rng, history_t=history_t)
+        # 'time_travel' = lookahead only; 'tts' = lookahead + SDE churn
+        # (the combined --sde --time_travel mode, reference sample_tts.py)
         return samplers.time_travel_sample_segment(
-            denoise, latent, sig, lfz, history_t=history_t)
+            denoise, latent, sig, lfz, history_t=history_t,
+            sde=(mode == "tts"), rng=rng)
 
     @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8))
     def _sample_segment_teacache(self, params, latent, ctx, history_t, steps,
@@ -447,21 +465,25 @@ class TI2VPipeline:
         ctx_null: Optional[jax.Array] = None,
         guide_scale: float = 5.0,
         return_latents: bool = False,
+        noise: Optional[jax.Array] = None,
     ) -> jax.Array:
         """Text-to-video, single segment. ``solver='euler'`` is the 5B t2v
         path (reference sample_5b.py --T2V, flag=False unpacked, no CFG);
         'unipc'/'dpmpp' with ``ctx_null`` is the stock Wan2.1 T2V loop
         (reference wan/text2video.py:110-267: multistep solver + CFG).
+        ``noise`` overrides the seeded initial noise (cross-framework
+        parity tests / external generators).
         Returns video [B, frame_num, H, W, 3] in [-1, 1]."""
         cfgv = self.config.vae
         shift = self.config.sample_shift if shift is None else shift
         f_lat = (frame_num - 1) // cfgv.stride[0] + 1
         h_lat = size[1] // cfgv.stride[1]
         w_lat = size[0] // cfgv.stride[2]
-        noise = jax.random.normal(
-            jax.random.PRNGKey(seed),
-            (ctx.shape[0], f_lat, h_lat, w_lat, cfgv.z_dim), jnp.float32,
-        )
+        if noise is None:
+            noise = jax.random.normal(
+                jax.random.PRNGKey(seed),
+                (ctx.shape[0], f_lat, h_lat, w_lat, cfgv.z_dim), jnp.float32,
+            )
         _special = (isinstance(self.dit_params, tuple)
                     or type(self.dit_params).__name__ == "PPParams")
         if _special and solver != "euler":
@@ -489,18 +511,21 @@ class TI2VPipeline:
         seed: int = 0,
         sampler: str = "euler",
         progress_cb=None,
+        noise: Optional[jax.Array] = None,
     ) -> jax.Array:
         """One autoregressive continuation: append `latent_frame_zero` fresh
         noise frames after the history, denoise them (packed history,
         per-frame timesteps), return the grown latent sequence (reference
         sample_5b.py:920-1100). ``sampler``: 'euler' | 'sde' | 'time_travel'
         (TTS variants, reference sample_tts.py). ``progress_cb(sigma)`` is
-        called from the device per denoise step (euler only)."""
+        called from the device per denoise step (euler only). ``noise``
+        overrides the seeded tail noise (cross-framework parity tests)."""
         lfz = self.config.latent_frame_zero
         b, f_hist, h, w, c = history_latents.shape
-        noise = jax.random.normal(
-            jax.random.PRNGKey(seed), (b, lfz, h, w, c), jnp.float32
-        )
+        if noise is None:
+            noise = jax.random.normal(
+                jax.random.PRNGKey(seed), (b, lfz, h, w, c), jnp.float32
+            )
         latent = jnp.concatenate([history_latents, noise], axis=1)
         history_t = jnp.zeros((b, f_hist), jnp.float32)
         _special = type(self.dit_params).__name__ == "PPParams"
@@ -512,8 +537,10 @@ class TI2VPipeline:
             raise NotImplementedError(
                 f"int8 trunk supports euler/teacache samplers, got {sampler!r}")
         if sampler == "euler":
+            _PROGRESS_SLOT[0] = progress_cb
             return self._sample_segment(self.dit_params, latent, ctx, history_t,
-                                        steps, shift, lfz, progress_cb)
+                                        steps, shift, lfz,
+                                        progress_cb is not None)
         if sampler == "teacache":
             return self._sample_segment_teacache(
                 self.dit_params, latent, ctx, history_t, steps, shift, lfz)

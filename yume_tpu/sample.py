@@ -35,6 +35,18 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--jpg_dir", default=None)
     p.add_argument("--caption_file", default=None,
                    help="per-line segment control captions (≙ caption.txt)")
+    p.add_argument("--video_root_dir", default=None,
+                   help="video-input mode: scan <dir>/<category>/*.mp4 with "
+                        "sibling .txt control files, build the key/mouse "
+                        "vocab caption, and continue generation from each "
+                        "clip (≙ reference mp4_data over test_video/, "
+                        "fastvideo/sample/sample.py:487-584)")
+    p.add_argument("--input_video", default=None,
+                   help="continue generation from a single .mp4 (caption "
+                        "from --prompt, or a sibling .txt control file)")
+    p.add_argument("--video_frames", type=int, default=33,
+                   help="frames read from each input video (reference "
+                        "total_frames_target=33)")
     p.add_argument("--num_euler_timesteps", "--steps", dest="steps", type=int, default=50)
     p.add_argument("--shift", type=float, default=None)
     p.add_argument("--guide_scale", type=float, default=5.0)
@@ -100,24 +112,48 @@ def load_pipeline(args):
 
     cfg = CONFIGS[args.config]()
     if args.smoke:
-        from .configs import DiTConfig, T5Config, VAEConfig
+        from .configs import CLIPConfig, DiTConfig, T5Config, VAEConfig
 
-        cfg = dataclasses.replace(
-            cfg,
-            dit=DiTConfig(model_type="ti2v", in_dim=8, out_dim=8, dim=128,
-                          ffn_dim=256, freq_dim=64, text_dim=32, text_len=32,
-                          num_heads=4, num_layers=2, framepack=True),
-            vae=VAEConfig(z_dim=8, base_dim=8, dim_mult=(1, 2, 2),
-                          num_res_blocks=1, temporal_downsample=(True, False),
-                          stride=(2, 8, 8), patchify=2),
-            t5=T5Config(vocab_size=4096, dim=32, dim_attn=32, dim_ffn=48,
-                        num_heads=2, num_layers=1, text_len=32),
-            latent_frame_zero=2,
-        )
+        if cfg.name == "i2v-14B":
+            # tiny 14B-shaped config (msk/y + CLIP branch), so the 14B CFG
+            # driver paths run on CPU in tests
+            cfg = dataclasses.replace(
+                cfg,
+                name="i2v-14B",
+                dit=DiTConfig(model_type="i2v", in_dim=18, out_dim=8,
+                              dim=128, ffn_dim=256, freq_dim=64, text_dim=32,
+                              text_len=32, num_heads=4, num_layers=2,
+                              framepack=True, image_context_len=5,
+                              image_dim=12),
+                vae=VAEConfig(z_dim=8, base_dim=8, dim_mult=(1, 2, 2),
+                              num_res_blocks=1,
+                              temporal_downsample=(True, False),
+                              stride=(2, 4, 4), patchify=1, arch="wan21"),
+                t5=T5Config(vocab_size=4096, dim=32, dim_attn=32, dim_ffn=48,
+                            num_heads=2, num_layers=1, text_len=32),
+                clip=CLIPConfig(image_size=16, patch_size=8, dim=12,
+                                num_heads=2, num_layers=1, out_tokens=5),
+                latent_frame_zero=2,
+            )
+        else:
+            cfg = dataclasses.replace(
+                cfg,
+                dit=DiTConfig(model_type="ti2v", in_dim=8, out_dim=8, dim=128,
+                              ffn_dim=256, freq_dim=64, text_dim=32,
+                              text_len=32, num_heads=4, num_layers=2,
+                              framepack=True),
+                vae=VAEConfig(z_dim=8, base_dim=8, dim_mult=(1, 2, 2),
+                              num_res_blocks=1,
+                              temporal_downsample=(True, False),
+                              stride=(2, 8, 8), patchify=2),
+                t5=T5Config(vocab_size=4096, dim=32, dim_attn=32, dim_ffn=48,
+                            num_heads=2, num_layers=1, text_len=32),
+                latent_frame_zero=2,
+            )
     if getattr(args, "w8a8", False):
         cfg = dataclasses.replace(
             cfg, dit=dataclasses.replace(cfg.dit, w8a8=True))
-    cls = I2VPipeline if (cfg.name == "i2v-14B" and not args.smoke) else TI2VPipeline
+    cls = I2VPipeline if cfg.name == "i2v-14B" else TI2VPipeline
     # init shapes: packed mode needs at least one history frame beyond the
     # latent_frame_zero tail (the 14B lfz=9 breaks a 2-frame init)
     f_init = 3 if args.smoke else cfg.latent_frame_zero + 1
@@ -134,33 +170,82 @@ def load_pipeline(args):
         **extra,
     )
     if args.ckpt_dir:
+        if not os.path.isdir(args.ckpt_dir):
+            raise SystemExit(f"--ckpt_dir {args.ckpt_dir!r} is not a "
+                             "directory")
         load_torch_weights(pipe, args.ckpt_dir,
                            load_dit=pipe.dit_params is not None)
+    elif not args.smoke:
+        import warnings
+
+        warnings.warn(
+            "no --ckpt_dir: running with RANDOM weights (capability/perf "
+            "runs only — outputs are noise). Pass --ckpt_dir with the "
+            "released torch checkpoints for real generation.", stacklevel=2)
     return cfg, pipe
 
 
-def load_torch_weights(pipe, ckpt_dir: str, *, load_dit: bool = True):
-    """Load released torch checkpoints (safetensors DiT + .pth VAE/T5)."""
+def load_torch_weights(pipe, ckpt_dir: str, *, load_dit: bool = True,
+                       strict: bool = True):
+    """Load released torch checkpoints (safetensors DiT + .pth VAE/T5).
+
+    ``strict`` (default): missing components RAISE instead of silently
+    leaving random-init modules behind — the reference hard-requires every
+    file in ``checkpoint_dir`` (wan/text2video.py:66-84), and a random VAE
+    or T5 silently produces garbage latents/conditioning."""
     from .utils.checkpoint import (convert_dit_state_dict,
                                    convert_t5_state_dict,
                                    convert_vae22_state_dict,
                                    load_safetensors_state_dict)
 
+    missing = []
     if load_dit:
         dit_sd = load_safetensors_state_dict(ckpt_dir)
-        pipe.dit_params = convert_dit_state_dict(dit_sd,
-                                                 pipe.config.dit.num_layers)
+        if dit_sd:
+            pipe.dit_params = convert_dit_state_dict(
+                dit_sd, pipe.config.dit.num_layers)
+        else:
+            missing.append("DiT (*.safetensors [+ index.json])")
     import torch
 
-    vae_path = os.path.join(ckpt_dir, "Wan2.2_VAE.pth")
+    vae_file = ("Wan2.2_VAE.pth" if pipe.config.vae.arch == "wan22"
+                else "Wan2.1_VAE.pth")
+    vae_path = os.path.join(ckpt_dir, vae_file)
     if os.path.exists(vae_path):
-        pipe.vae_params = convert_vae22_state_dict(
-            torch.load(vae_path, map_location="cpu"),
-            num_res_blocks=pipe.config.vae.num_res_blocks)
+        if pipe.config.vae.arch == "wan22":
+            pipe.vae_params = convert_vae22_state_dict(
+                torch.load(vae_path, map_location="cpu"),
+                num_res_blocks=pipe.config.vae.num_res_blocks)
+        else:
+            from .utils.checkpoint import convert_vae21_state_dict
+
+            pipe.vae_params = convert_vae21_state_dict(
+                torch.load(vae_path, map_location="cpu"),
+                num_res_blocks=pipe.config.vae.num_res_blocks)
+    else:
+        missing.append(vae_file)
     t5_path = os.path.join(ckpt_dir, "models_t5_umt5-xxl-enc-bf16.pth")
     if os.path.exists(t5_path):
         pipe.t5_params = convert_t5_state_dict(
             torch.load(t5_path, map_location="cpu"), pipe.config.t5.num_layers)
+    else:
+        missing.append("models_t5_umt5-xxl-enc-bf16.pth")
+    clip_file = "models_clip_open-clip-xlm-roberta-large-vit-huge-14.pth"
+    clip_path = os.path.join(ckpt_dir, clip_file)
+    if getattr(pipe, "clip", None) is not None:
+        if os.path.exists(clip_path):
+            from .utils.checkpoint import convert_clip_visual_state_dict
+
+            pipe.clip_params = convert_clip_visual_state_dict(
+                torch.load(clip_path, map_location="cpu"),
+                num_layers=pipe.config.clip.num_layers)
+        else:
+            missing.append(clip_file)
+    if missing and strict:
+        raise RuntimeError(
+            f"checkpoint dir {ckpt_dir!r} is missing: {', '.join(missing)} "
+            "— refusing to run with random-init modules (pass strict=False "
+            "to load the subset that is present)")
 
 
 def _host_dit_tree(args, cfg, pipe):
@@ -283,8 +368,11 @@ def main(argv=None):
                 pipe.phase_cb("dit")
         else:
             pipe.quantize_int8(bits=bits)
-    tok = Tokenizer(args.tokenizer, seq_len=cfg.t5.text_len,
-                    vocab_size=cfg.t5.vocab_size)
+    from .data.tokenizer import resolve_tokenizer_path
+
+    tok = Tokenizer(resolve_tokenizer_path(args.tokenizer, args.ckpt_dir),
+                    seq_len=cfg.t5.text_len, vocab_size=cfg.t5.vocab_size,
+                    warn_fallback=not args.smoke)
 
     def encode(text):
         with phase("t5_encode"):
@@ -328,11 +416,121 @@ def main(argv=None):
     return rc
 
 
+# fixed camera-metrics suffix appended to video-mode captions (reference
+# fastvideo/sample/sample.py:689 — a constant, not a computed value)
+_VIDEO_METRICS_SUFFIX = (
+    "Actual distance moved:4.3697374288015297 at 100 meters per second."
+    "Angular change rate (turn speed):4.520279996588001."
+    "View rotation speed:4.14601429683874179.")
+
+
+def iter_video_samples(args, size):
+    """Yield (video [1, F, H, W, 3] in [-1,1], caption) from --input_video
+    and/or --video_root_dir (category scan ≙ reference mp4_data,
+    fastvideo/sample/sample.py:487-584: per-clip .txt control files →
+    key/mouse vocab captions)."""
+    import glob
+
+    from .data.controls import control_caption, parse_control_txt
+    from .data.dataset import read_video_frames
+
+    n_frames = 5 if args.smoke else args.video_frames
+
+    def load(mp4, caption):
+        txt = mp4[:-4] + ".txt"
+        if os.path.exists(txt):
+            keys, mouse, _, _ = parse_control_txt(txt)
+            if keys is not None or mouse is not None:
+                caption = control_caption(keys or "None", mouse or "·")
+        video = read_video_frames(mp4, list(range(n_frames)),
+                                  size=(size[1], size[0]))
+        return jnp.asarray(video)[None], caption
+
+    if args.input_video:
+        yield load(args.input_video, args.prompt)
+    if args.video_root_dir:
+        for sub in sorted(glob.glob(os.path.join(args.video_root_dir, "*/"))):
+            for mp4 in sorted(glob.glob(os.path.join(sub, "*.mp4"))):
+                yield load(mp4, args.prompt)
+
+
+def _run_video(args, cfg, pipe, encode, sampler, size, steps, slot=None):
+    """Video-input inference: continue generation from existing clips
+    (reference video mode of sample_one, fastvideo/sample/sample.py:
+    686-714: the clip becomes the history — first frame repeated 16×
+    prepended — and `generate` runs with flag_sample frame_zero=32)."""
+    from .pipelines.i2v import I2VPipeline
+    from .utils.logging_ import phase
+    from .utils.video import save_video
+
+    def vae_phase():
+        if slot is not None:
+            slot.phase("vae")
+
+    n_out = 0
+    for v_idx, (video, caption) in enumerate(iter_video_samples(args, size)):
+        cap = caption + _VIDEO_METRICS_SUFFIX
+        ctx = encode(cap)
+        t0 = time.time()
+        if isinstance(pipe, I2VPipeline):
+            ctx_null = encode(args.neg_prompt or cfg.sample_neg_prompt)
+            # first frame ×16 prepended (reference sample.py:711); the
+            # repeat count is nudged so the history length is ≡1 (mod s0)
+            # and streams through the causal VAE exactly
+            s0 = cfg.vae.stride[0]
+            rep = 4 * s0 + ((1 - video.shape[1] - 4 * s0) % s0)
+            history = jnp.concatenate(
+                [jnp.repeat(video[:, :1], rep, axis=1), video], axis=1)
+            # sampling-time tail: 32 px frames for the 14B (flag_sample
+            # frame_zero, reference wan/image2video.py:275)
+            frame_zero = (cfg.latent_frame_zero - 1) * s0
+            for s_idx in range(args.sample_num):
+                with phase("generate_next"):
+                    latents, decoded = pipe.generate_next(
+                        history, ctx, ctx_null, frame_zero=frame_zero,
+                        steps=steps, shift=args.shift,
+                        guide_scale=args.guide_scale,
+                        seed=args.seed + s_idx, sampler=sampler)
+                out = os.path.join(
+                    args.output_dir, f"video{v_idx:03d}_seg{s_idx:03d}.mp4")
+                save_video(np.asarray(decoded[0, -frame_zero:]), out,
+                           fps=cfg.sample_fps)
+                n_out += 1
+                history = decoded  # growing history re-conditioning
+        else:
+            # 5B path: VAE-encode the clip as history latents, then the
+            # packed segment rollout continues it
+            vae_phase()
+            latents = pipe.encode_auto(video)
+            for s_idx in range(args.sample_num):
+                with phase("generate"):
+                    latents = pipe.generate_segment(
+                        latents, ctx, steps=steps,
+                        shift=args.shift or cfg.sample_shift,
+                        seed=args.seed + s_idx, sampler=sampler)
+                vae_phase()
+                tail = pipe.decode_auto(
+                    latents[:, -cfg.latent_frame_zero:])
+                out = os.path.join(
+                    args.output_dir, f"video{v_idx:03d}_seg{s_idx:03d}.mp4")
+                save_video(np.asarray(tail[0]), out, fps=cfg.sample_fps)
+                n_out += 1
+        print(f"--> video {v_idx}: {args.sample_num} segment(s) in "
+              f"{time.time() - t0:.1f}s ({caption[:60]})")
+    if n_out == 0:
+        raise FileNotFoundError(
+            f"no input videos found under {args.video_root_dir or args.input_video}")
+    return 0
+
+
 def _run(args, cfg, pipe, encode, captions, sampler, size, frame_num, steps,
          slot=None):
     from .pipelines.i2v import I2VPipeline
     from .utils.logging_ import phase
     from .utils.video import load_image, save_video
+
+    if args.input_video or args.video_root_dir:
+        return _run_video(args, cfg, pipe, encode, sampler, size, steps, slot)
 
     def vae_phase():
         if slot is not None:
@@ -342,6 +540,10 @@ def _run(args, cfg, pipe, encode, captions, sampler, size, frame_num, steps,
     if isinstance(pipe, I2VPipeline):
         # 14B CFG path (reference fastvideo/sample/sample.py): image (or
         # first video frame) conditioning, CFG Euler, generate_next rollout
+        if args.jpg_dir is None:
+            raise SystemExit(
+                "the 14B i2v pipeline needs --jpg_dir (image mode), "
+                "--input_video, or --video_root_dir")
         ctx = encode(captions[0])
         ctx_null = encode(args.neg_prompt or cfg.sample_neg_prompt)
         img = load_image(
@@ -373,14 +575,18 @@ def _run(args, cfg, pipe, encode, captions, sampler, size, frame_num, steps,
 
     if args.t2v or args.jpg_dir is None:
         ctx = encode(captions[0])
+        # T5 work must finish before vae_phase(): under --memory_optimization
+        # each encode() re-stages T5 and evicts the VAE, so a late ctx_null
+        # would leave generate_t2v's internal decode without VAE params
+        ctx_null = (encode(args.neg_prompt or cfg.sample_neg_prompt)
+                    if args.sample_solver != "euler" else None)
         with phase("generate"):
             vae_phase()  # 5B fits with VAE resident; internal decode needs it
             video = pipe.generate_t2v(
                 ctx, size=size if not args.smoke else (32, 32),
                 frame_num=frame_num, steps=steps, shift=args.shift,
                 seed=args.seed, solver=args.sample_solver,
-                ctx_null=encode(args.neg_prompt or cfg.sample_neg_prompt)
-                if args.sample_solver != "euler" else None,
+                ctx_null=ctx_null,
                 guide_scale=args.guide_scale,
             )
         with phase("vae_encode"):

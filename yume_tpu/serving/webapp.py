@@ -191,8 +191,12 @@ def load_models(args):
         STATE["offload"] = slot
     STATE["pipe"] = pipe
     STATE["cfg"] = cfg
-    STATE["tokenizer"] = Tokenizer(args.tokenizer, seq_len=cfg.t5.text_len,
-                                   vocab_size=cfg.t5.vocab_size)
+    from ..data.tokenizer import resolve_tokenizer_path
+
+    STATE["tokenizer"] = Tokenizer(
+        resolve_tokenizer_path(args.tokenizer, args.ckpt_dir),
+        seq_len=cfg.t5.text_len, vocab_size=cfg.t5.vocab_size,
+        warn_fallback=not args.smoke)
     if getattr(args, "refiner_model", None):
         from ..data.prompt_refine import get_refiner
 

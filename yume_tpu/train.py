@@ -49,6 +49,14 @@ def build_argparser():
     p.add_argument("--height", type=int, default=352)
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--data_parallel", type=int, default=1)
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel degree: the train-step forward "
+                        "runs the differentiable SP trunk over the mesh's sp "
+                        "axis (≙ reference training SP init, "
+                        "fastvideo/distill_model.py:478 + the autograd "
+                        "collectives of utils/communications.py:106-131)")
+    p.add_argument("--sp_kind", default="ulysses",
+                   choices=["ulysses", "ring", "usp"])
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--remat", action="store_true",
                    help="activation checkpointing per DiT block")
@@ -86,23 +94,45 @@ def main(argv=None):
     cfg = CONFIGS[args.config]()
     dit_cfg = cfg.dit
     lfz = cfg.latent_frame_zero
+    is_i2v = dit_cfg.model_type == "i2v"
     if args.smoke:
-        from .configs import PipelineConfig, T5Config, VAEConfig
+        from .configs import CLIPConfig, PipelineConfig, T5Config, VAEConfig
 
-        dit_cfg = DiTConfig(model_type="ti2v", in_dim=8, out_dim=8, dim=64,
-                            ffn_dim=128, freq_dim=32, text_dim=16, text_len=16,
-                            num_heads=4, num_layers=2, framepack=True,
-                            mvdt=args.MVDT)
-        # a full tiny pipeline config so the --data_dir encode path (VAE/T5)
-        # runs at smoke scale too
-        cfg = PipelineConfig(
-            name="smoke", dit=dit_cfg,
-            vae=VAEConfig(z_dim=8, base_dim=8, dim_mult=(1, 2, 2),
-                          num_res_blocks=1, temporal_downsample=(True, False),
-                          stride=(2, 8, 8), patchify=2),
-            t5=T5Config(vocab_size=256, dim=16, dim_attn=16, dim_ffn=24,
-                        num_heads=2, num_layers=1, text_len=16),
-            latent_frame_zero=2)
+        if is_i2v:
+            # tiny 14B-shaped config: 16→8 latent ch, 20→10 cond ch (msk=s0,
+            # stride_t=2), CLIP branch with 5 tokens
+            dit_cfg = DiTConfig(model_type="i2v", in_dim=18, out_dim=8,
+                                dim=64, ffn_dim=128, freq_dim=32, text_dim=16,
+                                text_len=16, num_heads=4, num_layers=2,
+                                framepack=True, mvdt=args.MVDT,
+                                image_context_len=5, image_dim=12)
+            cfg = PipelineConfig(
+                name="smoke-i2v", dit=dit_cfg,
+                vae=VAEConfig(z_dim=8, base_dim=8, dim_mult=(1, 2, 2),
+                              num_res_blocks=1,
+                              temporal_downsample=(True, False),
+                              stride=(2, 4, 4), patchify=1, arch="wan21"),
+                t5=T5Config(vocab_size=256, dim=16, dim_attn=16, dim_ffn=24,
+                            num_heads=2, num_layers=1, text_len=16),
+                clip=CLIPConfig(image_size=16, patch_size=8, dim=12,
+                                num_heads=2, num_layers=1, out_tokens=5),
+                latent_frame_zero=2)
+        else:
+            dit_cfg = DiTConfig(model_type="ti2v", in_dim=8, out_dim=8, dim=64,
+                                ffn_dim=128, freq_dim=32, text_dim=16,
+                                text_len=16, num_heads=4, num_layers=2,
+                                framepack=True, mvdt=args.MVDT)
+            # a full tiny pipeline config so the --data_dir encode path
+            # (VAE/T5) runs at smoke scale too
+            cfg = PipelineConfig(
+                name="smoke", dit=dit_cfg,
+                vae=VAEConfig(z_dim=8, base_dim=8, dim_mult=(1, 2, 2),
+                              num_res_blocks=1,
+                              temporal_downsample=(True, False),
+                              stride=(2, 8, 8), patchify=2),
+                t5=T5Config(vocab_size=256, dim=16, dim_attn=16, dim_ffn=24,
+                            num_heads=2, num_layers=1, text_len=16),
+                latent_frame_zero=2)
         lfz = 2
         args.max_train_steps = min(args.max_train_steps, 5)
         if args.data_dir:
@@ -110,11 +140,37 @@ def main(argv=None):
     elif args.MVDT:
         dit_cfg = dataclasses.replace(dit_cfg, mvdt=True)
 
-    mesh = make_mesh(data=args.data_parallel, fsdp=-1, sp=1)
+    if args.sp > 1 and args.sp_kind == "usp":
+        from .parallel.mesh import make_usp_mesh
+
+        mesh = make_usp_mesh(data=args.data_parallel, fsdp=1, sp_u=2,
+                             sp_r=args.sp // 2)
+    else:
+        mesh = make_mesh(data=args.data_parallel, fsdp=-1, sp=args.sp)
     main_print(f"mesh: {dict(mesh.shape)} on {len(jax.devices())} devices")
 
     dtype = jnp.float32 if args.smoke else jnp.bfloat16
     dit = WanDiT(dit_cfg, dtype=dtype, remat=args.remat)
+
+    if args.sp > 1:
+        # sequence-parallel training: the flow-pass forward runs the
+        # differentiable SP trunk (parallel/sp_forward.py) sharded over the
+        # mesh's sp axis — 720p/long-history steps whose activations exceed
+        # one chip become trainable. MVDT's token masking reorders the
+        # sharded sequence, so the masked pass stays dense-only.
+        assert not args.MVDT, "--sp composes with the plain/Distil flow " \
+            "step; MVDT token masking is dense-only"
+        assert not args.lora_rank, "--sp with --lora_rank is not supported"
+        from .parallel.sp_forward import sp_dit_apply
+
+        def fwd_apply(params, x, t_frame, ctx, *, packed=True,
+                      latent_frame_zero=lfz, clip_context=None, **kw):
+            assert packed and not kw, (packed, kw)
+            return sp_dit_apply(dit, params, mesh, x, t_frame, ctx,
+                                latent_frame_zero=latent_frame_zero,
+                                clip_context=clip_context, kind=args.sp_kind)
+    else:
+        fwd_apply = dit.apply
 
     # latent geometry
     if args.smoke:
@@ -132,15 +188,19 @@ def main(argv=None):
     t0 = jnp.zeros((1, f))
     c0 = jnp.zeros((1, text_len, text_dim))
     init_kw = {}
+    if dit_cfg.image_context_len:
+        init_kw["clip_context"] = jnp.zeros(
+            (1, dit_cfg.image_context_len, dit_cfg.image_dim))
     mvdt_keeps = None
     if args.MVDT:
         # the reference samples mask_ratio ~ U[0.3, 0.5] per step
         # (wan23/modules/model.py:766-767); keep counts must be static under
-        # jit, so we quantise to 5 ratios → 5 cached compilations
+        # jit, so we quantise — 9 ratios at 0.025 spacing (≤1.25% off any
+        # continuous draw) → 9 cached compilations (docs/ARCHITECTURE.md)
         l_unpacked = f * (h // dit_cfg.patch_size[1]) * (w // dit_cfg.patch_size[2])
-        mvdt_keeps = [int(l_unpacked * (1.0 - r))
-                      for r in (0.30, 0.35, 0.40, 0.45, 0.50)]
-        init_kw = dict(mvdt_rng=jax.random.PRNGKey(0), mvdt_keep=mvdt_keeps[0])
+        ratios = [0.30 + 0.025 * i for i in range(9)]
+        mvdt_keeps = [int(l_unpacked * (1.0 - r)) for r in ratios]
+        init_kw.update(mvdt_rng=jax.random.PRNGKey(0), mvdt_keep=mvdt_keeps[0])
     params = dit.init(rng, x0, t0, c0, packed=True, latent_frame_zero=lfz, **init_kw)
     if args.ckpt_dir:
         from .utils.checkpoint import convert_dit_state_dict, load_safetensors_state_dict
@@ -186,10 +246,10 @@ def main(argv=None):
 
         def _mk(keep):
             return jax.jit(make_distill_train_step(
-                dit.apply, tc, disc, d_opt, packed=True, mvdt_keep=keep))
+                fwd_apply, tc, disc, d_opt, packed=True, mvdt_keep=keep))
     else:
         def _mk(keep):
-            return jax.jit(make_train_step(dit.apply, tc, packed=True,
+            return jax.jit(make_train_step(fwd_apply, tc, packed=True,
                                            mvdt_keep=keep))
 
     if args.lora_rank:
@@ -221,8 +281,19 @@ def main(argv=None):
         step_fn = _mk(None)
 
     # data: real dataset or synthetic latents
+    _rand_i2v = _random.Random(args.seed + 31)
+
     def synthetic_batch(step):
         k = jax.random.PRNGKey(step)
+        if is_i2v:
+            from .training.i2v_batch import synthetic_i2v_batch
+
+            return synthetic_i2v_batch(
+                k, b=b, f=f, h=h, w=w, z_dim=dit_cfg.out_dim,
+                mask_ch=cfg.vae.stride[0], text_len=text_len,
+                text_dim=text_dim,
+                image_context_len=dit_cfg.image_context_len,
+                image_dim=dit_cfg.image_dim)
         return {
             "latents": jax.random.normal(k, (b, f, h, w, dit_cfg.in_dim)),
             "context": jax.random.normal(k, (b, text_len, text_dim)) * 0.02,
@@ -235,7 +306,6 @@ def main(argv=None):
         from .data.dataset import ControlVideoDataset
         from .data.loader import PrefetchLoader
         from .data.tokenizer import Tokenizer
-        from .pipelines.ti2v import TI2VPipeline
 
         ds = ControlVideoDataset(
             args.data_dir, full_mp4_dir=args.full_mp4_dir,
@@ -245,8 +315,17 @@ def main(argv=None):
         # encode fns need REAL VAE/T5 weights (reference init_model,
         # distill_model.py:720-737); load them from the checkpoint dir (or
         # explicit paths) — a random encoder would feed garbage latents
-        pipe = TI2VPipeline.from_config(cfg, jax.random.PRNGKey(0),
-                                        init_t5=True)
+        if is_i2v:
+            from .pipelines.i2v import I2VPipeline
+
+            pipe = I2VPipeline.from_config(cfg, jax.random.PRNGKey(0),
+                                           init_t5=True, init_clip=True,
+                                           init_dit=False)
+        else:
+            from .pipelines.ti2v import TI2VPipeline
+
+            pipe = TI2VPipeline.from_config(cfg, jax.random.PRNGKey(0),
+                                            init_t5=True)
         weights_dir = args.encoders_dir or args.ckpt_dir
         if weights_dir:
             from .sample import load_torch_weights
@@ -255,8 +334,12 @@ def main(argv=None):
         else:
             main_print("WARNING: --data_dir without --ckpt_dir/--encoders_dir"
                        " — VAE/T5 encoders are randomly initialised")
-        tokenizer = Tokenizer(args.tokenizer_path, seq_len=text_len,
-                              vocab_size=cfg.t5.vocab_size)
+        from .data.tokenizer import resolve_tokenizer_path
+
+        tokenizer = Tokenizer(
+            resolve_tokenizer_path(args.tokenizer_path, weights_dir),
+            seq_len=text_len, vocab_size=cfg.t5.vocab_size,
+            warn_fallback=not args.smoke)
 
         # threaded host prefetch (≙ reference DataLoader workers,
         # distill_model.py:633-654): video decode overlaps the train step
@@ -271,9 +354,17 @@ def main(argv=None):
             video = jnp.asarray(np.stack(raw["video"])
                                 if isinstance(raw["video"], list)
                                 else raw["video"])
-            latents = pipe._encode(video)
             ids, mask = tokenizer(raw["caption"])
             ctx = pipe.encode_text(jnp.asarray(ids), jnp.asarray(mask))
+            if is_i2v:
+                # host rand_num_img draw picks the i2v vs v2v branch per
+                # step (reference distill_model.py:262-272); both branches
+                # have static shapes → at most two compilations
+                from .training.i2v_batch import build_i2v_train_batch
+
+                return build_i2v_train_batch(
+                    pipe, video, ctx, rand_num_img=_rand_i2v.random())
+            latents = pipe._encode(video)
             return {"latents": latents, "context": ctx}
 
     start_step = 0
@@ -367,14 +458,20 @@ def _validation_rollout(args, dit, state, batch, lfz, step, pipe=None):
 
     latents = batch["latents"][:1]
     ctx = batch["context"][:1]
+    y = batch.get("y")
+    clip_ctx = batch.get("clip_context")
     b, f = latents.shape[:2]
     noise = jax.random.normal(jax.random.PRNGKey(step), latents.shape)
     latent0 = jnp.concatenate(
         [latents[:, :f - lfz], noise[:, f - lfz:]], axis=1)
 
     def denoise(lat, t_frame):
-        out = dit.apply(state.ema_params, lat, t_frame, ctx, packed=True,
-                        latent_frame_zero=lfz)
+        # i2v batches carry the 20-ch y conditioning + CLIP context
+        x_in = lat if y is None else jnp.concatenate(
+            [lat, y[:1].astype(lat.dtype)], axis=-1)
+        kw = {} if clip_ctx is None else {"clip_context": clip_ctx[:1]}
+        out = dit.apply(state.ema_params, x_in, t_frame, ctx, packed=True,
+                        latent_frame_zero=lfz, **kw)
         pad = jnp.zeros_like(lat[:, : f - lfz])
         return jnp.concatenate([pad, out], axis=1)
 

@@ -96,11 +96,52 @@ def make_loss_fn(
     transport = Transport(shift=cfg.shift)
     lfz = cfg.latent_frame_zero
 
+    def flow_pass_i2v(params, batch, rng, *, masked: bool):
+        """The 14B i2v/v2v training pass (reference Transport.training_losses,
+        hyvideo/diffusion/flow/transport.py:164-205 + distill_model.py:275-318):
+        the WHOLE latent (history + tail) is noised at one scalar t, the
+        clean conditioning rides in the 20-channel ``y`` (msk + VAE(history),
+        wan/image2video.py:300-369) concatenated to the 16-ch x_t for the
+        36-ch DiT input, CLIP features feed the i2v cross-attention branch,
+        and the velocity loss covers only the trailing ``latent_frame_zero``
+        (=9) frames of the 16-ch output."""
+        x1 = batch["latents"]                      # [B, F, h, w, 16] target
+        y = batch["y"]                             # [B, F, h, w, 4+16]
+        ctx = batch["context"]
+        clip_ctx = batch.get("clip_context")
+        b, f = x1.shape[:2]
+        t_rng, n_rng, mv_rng = jax.random.split(rng, 3)
+
+        t = transport.sample_t(t_rng, b)
+        x0 = jax.random.normal(n_rng, x1.shape, x1.dtype)
+        xt, ut = transport.plan(t, x0, x1)
+        # scalar t broadcast per frame (the reference passes t*1000 as a
+        # scalar; history is noised like the tail — conditioning is y-only)
+        t_frame = jnp.broadcast_to(t[:, None], (b, f)) * 1000.0
+
+        kw = {}
+        if clip_ctx is not None:
+            kw["clip_context"] = clip_ctx
+        if masked:
+            kw.update(mvdt_rng=mv_rng, mvdt_keep=mvdt_keep)
+        x_in = jnp.concatenate([xt, y.astype(xt.dtype)], axis=-1)
+        v = dit_apply(params, x_in, t_frame, ctx, packed=packed,
+                      latent_frame_zero=lfz, **kw)
+        v_tail = v[:, -lfz:].astype(jnp.float32)
+        ut_tail = ut[:, -lfz:].astype(jnp.float32)
+        loss = jnp.mean((v_tail - ut_tail) ** 2)
+        denoised_tail = (
+            xt[:, -lfz:].astype(jnp.float32) - t[:, None, None, None, None] * v_tail
+        )
+        return loss, denoised_tail
+
     def flow_pass(params, batch, rng, *, masked: bool):
         """One Transport flow-matching pass. Returns (loss, denoised_tail):
         the one-step x0 estimate x̂₁ = x_t − t·v̂ on the tail frames
         (reference distill_model.py:321 `model_denoing = xt - t*model_output`;
         consumed by the ADD GAN branch)."""
+        if "y" in batch:
+            return flow_pass_i2v(params, batch, rng, masked=masked)
         x1 = batch["latents"]
         ctx = batch["context"]
         b, f = x1.shape[:2]
