@@ -180,3 +180,31 @@ def test_cfg_parallel_matches_sequential():
                            guide_scale=5.0, seed=3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_distilled_cond_only_matches_guide_scale_one():
+    """Distilled few-step serving (ctx_null=None, VERDICT r3 task 9): one
+    cond-only forward per step must equal the CFG loop's guide_scale=1.0
+    limit exactly (v = v_u + 1·(v_c − v_u) = v_c) while halving the model
+    calls; non-euler samplers are refused."""
+    import pytest
+
+    pipe = I2VPipeline.from_config(
+        TINY, jax.random.PRNGKey(0), init_t5=True, init_clip=True,
+        latent_shape=(3, 4, 4), dtype=jnp.float32,
+    )
+    ids = jnp.zeros((1, 16), jnp.int32)
+    ctx = pipe.encode_text(ids, jnp.ones_like(ids))
+    ctx_null = pipe.encode_text(
+        jnp.full((1, 16), 3, jnp.int32), jnp.ones_like(ids))
+    img = jax.random.uniform(jax.random.PRNGKey(5), (1, 1, 32, 32, 3),
+                             minval=-1, maxval=1)
+    lat_cfg1, _ = pipe.generate(img, ctx, ctx_null, frame_num=5, steps=3,
+                                guide_scale=1.0, seed=11)
+    lat_dist, _ = pipe.generate(img, ctx, None, frame_num=5, steps=3,
+                                seed=11)
+    np.testing.assert_allclose(np.asarray(lat_dist), np.asarray(lat_cfg1),
+                               atol=2e-5, rtol=1e-5)
+    with pytest.raises(NotImplementedError):
+        pipe.generate(img, ctx, None, frame_num=5, steps=3,
+                      sampler="teacache")

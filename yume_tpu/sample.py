@@ -67,6 +67,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "on one 16 GB chip)")
     p.add_argument("--teacache", action="store_true",
                    help="block-residual caching between denoise steps")
+    p.add_argument("--distilled", action="store_true",
+                   help="few-step distilled serving for the 14B pipeline: "
+                        "one cond-only forward per step (no CFG — guidance "
+                        "is baked into distilled weights, the 5B 4-step "
+                        "trick); pair with --steps 4..8")
     p.add_argument("--sp", type=int, default=1,
                    help="sequence-parallel degree for segment denoising "
                         "(shards the token axis over an sp mesh axis; "
@@ -545,7 +550,8 @@ def _run(args, cfg, pipe, encode, captions, sampler, size, frame_num, steps,
                 "the 14B i2v pipeline needs --jpg_dir (image mode), "
                 "--input_video, or --video_root_dir")
         ctx = encode(captions[0])
-        ctx_null = encode(args.neg_prompt or cfg.sample_neg_prompt)
+        ctx_null = (None if args.distilled
+                    else encode(args.neg_prompt or cfg.sample_neg_prompt))
         img = load_image(
             sorted(os.path.join(args.jpg_dir, f) for f in os.listdir(args.jpg_dir)
                    if f.lower().endswith((".jpg", ".png", ".jpeg")))[0],
