@@ -308,7 +308,7 @@ def flash_attention(
     *,
     kv_len: Optional[jax.Array] = None,
     scale: Optional[float] = None,
-    block_q: int = 512,
+    block_q: int = 1024,
     block_kv: int = 1024,
 ) -> jax.Array:
     """Flash attention over [B, L, N, D] tensors (returns same layout).
