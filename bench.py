@@ -129,12 +129,17 @@ def main():
 
     dt_w8a8_cached = timeit(step_w8a8_cached, params, x, t, ctx, cache)
 
-    # best-serving composition: TeaCache interval 3 → 1 full : 2 cached
-    # (the --teacache serving config; quality-gated on-chip)
+    # best-serving composition: TeaCache interval 3 → 1 full : 2 cached.
+    # Both --teacache (bf16) and --teacache --w8a8 pass the on-chip quality
+    # gate at the same 36 dB floor (TeaCache error dominates the
+    # composition; tests_tpu/test_quality_gate.py) — headline the faster.
     n_full = -(-steps // 3)
-    clip_best = n_full * dt_full_capture + (steps - n_full) * dt_cached
+    clip_tc = n_full * dt_full_capture + (steps - n_full) * dt_cached
     clip_bf16 = dt * steps
     clip_w8a8_tc = n_full * dt_w8a8 + (steps - n_full) * dt_w8a8_cached
+    clip_best = min(clip_tc, clip_w8a8_tc)
+    best_cfg = ("teacache_interval3_bf16" if clip_best == clip_tc
+                else "teacache_interval3_w8a8")
     dev = str(jax.devices()[0])
     is_v5e = "v5 lite" in dev or "v5e" in dev
     scale = (197.0 / 459.0) / 8.0 if is_v5e else 1.0 / 8.0
@@ -144,8 +149,9 @@ def main():
         "unit": "s",
         "vs_baseline": round(60.0 / clip_best, 2),
         "detail": {
-            "serving_config": "teacache_interval3_bf16",
+            "serving_config": best_cfg,
             "sec_bf16": round(clip_bf16, 3),
+            "sec_teacache_bf16": round(clip_tc, 3),
             "sec_w8a8_teacache": round(clip_w8a8_tc, 3),
             "dit_step_ms": round(dt * 1000, 2),
             "teacache_full_step_ms": round(dt_full_capture * 1000, 2),
