@@ -121,6 +121,16 @@ def main():
 
     dt_w8a8 = timeit(step_w8a8, params, x, t, ctx)
 
+    # the serving path's full step CAPTURES the block deltas — time it as
+    # run (same treatment as the bf16 composition above)
+    @jax.jit
+    def step_w8a8_full(params, x, t, ctx):
+        return dit_q.apply(params, x, t, ctx, packed=True,
+                           latent_frame_zero=lfz, cache_list=cache_list,
+                           return_cache=True)
+
+    dt_w8a8_capture = timeit(step_w8a8_full, params, x, t, ctx)
+
     @jax.jit
     def step_w8a8_cached(params, x, t, ctx, cache):
         return dit_q.apply(params, x, t, ctx, packed=True,
@@ -136,7 +146,7 @@ def main():
     n_full = -(-steps // 3)
     clip_tc = n_full * dt_full_capture + (steps - n_full) * dt_cached
     clip_bf16 = dt * steps
-    clip_w8a8_tc = n_full * dt_w8a8 + (steps - n_full) * dt_w8a8_cached
+    clip_w8a8_tc = n_full * dt_w8a8_capture + (steps - n_full) * dt_w8a8_cached
     clip_best = min(clip_tc, clip_w8a8_tc)
     best_cfg = ("teacache_interval3_bf16" if clip_best == clip_tc
                 else "teacache_interval3_w8a8")
@@ -157,6 +167,7 @@ def main():
             "teacache_full_step_ms": round(dt_full_capture * 1000, 2),
             "teacache_step_ms": round(dt_cached * 1000, 2),
             "w8a8_step_ms": round(dt_w8a8 * 1000, 2),
+            "w8a8_full_step_ms": round(dt_w8a8_capture * 1000, 2),
             "w8a8_teacache_step_ms": round(dt_w8a8_cached * 1000, 2),
             "steps": steps,
             "history_latent_frames": f_hist,

@@ -58,6 +58,56 @@ def _save_sharded_safetensors(sd, out_dir, n_shards=3,
                   f)
 
 
+def _tree_equal(a, b):
+    la, ta = jax.tree_util.tree_flatten(a)
+    lb, tb = jax.tree_util.tree_flatten(b)
+    assert ta == tb
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x, np.float32),
+                                      np.asarray(y, np.float32))
+
+
+@pytest.mark.parametrize("kind", ["ti2v_mvdt", "i2v_clip"])
+def test_export_dit_roundtrip(tmp_path, kind):
+    """export_dit_state_dict is the exact inverse of convert_dit_state_dict:
+    params → reference-layout sharded safetensors → load → convert →
+    bit-identical tree (the TPU-trained → torch-served interchange path)."""
+    from yume_tpu.configs import DiTConfig
+    from yume_tpu.models.dit import WanDiT
+    from yume_tpu.utils.checkpoint import (convert_dit_state_dict,
+                                           export_dit_state_dict,
+                                           load_safetensors_state_dict,
+                                           save_sharded_safetensors)
+
+    if kind == "ti2v_mvdt":
+        cfg = DiTConfig(model_type="ti2v", in_dim=8, out_dim=8, dim=64,
+                        ffn_dim=128, freq_dim=32, text_dim=16, num_heads=4,
+                        num_layers=2, framepack=True, mvdt=True)
+        kw = dict(mvdt_rng=jax.random.PRNGKey(1), mvdt_keep=8)
+        clip_ctx = None
+    else:
+        cfg = DiTConfig(model_type="i2v", in_dim=18, out_dim=8, dim=64,
+                        ffn_dim=128, freq_dim=32, text_dim=16, num_heads=4,
+                        num_layers=2, framepack=True, image_context_len=5,
+                        image_dim=12)
+        clip_ctx = jnp.zeros((1, 5, 12))
+        kw = dict(clip_context=clip_ctx)
+    dit = WanDiT(cfg, dtype=jnp.float32)
+    x = jnp.zeros((1, 3, 8, 8, cfg.in_dim))
+    params = dit.init(jax.random.PRNGKey(0), x, jnp.zeros((1, 3)),
+                      jnp.zeros((1, 16, cfg.text_dim)), packed=True,
+                      latent_frame_zero=2, **kw)
+
+    sd = export_dit_state_dict(jax.device_get(params), cfg.num_layers)
+    out = tmp_path / "export"
+    save_sharded_safetensors(sd, str(out), n_shards=3)
+    assert (out / "diffusion_pytorch_model.safetensors.index.json").exists()
+
+    back = convert_dit_state_dict(
+        load_safetensors_state_dict(str(out)), cfg.num_layers)
+    _tree_equal(params, back)
+
+
 @requires_reference
 def test_sharded_index_roundtrip_golden(rng_np, tmp_path):
     """state_dict → 3 sharded safetensors + index json → load → convert →
@@ -249,6 +299,7 @@ def test_load_torch_weights_strict_missing_raises(tmp_path):
     """A checkpoint dir missing components must RAISE (VERDICT r3 task 8:
     bad paths abort instead of leaving random-init modules behind)."""
     import pytest
+    import torch
 
     from yume_tpu.configs import (DiTConfig, PipelineConfig, T5Config,
                                   VAEConfig)
@@ -268,7 +319,14 @@ def test_load_torch_weights_strict_missing_raises(tmp_path):
         latent_frame_zero=2)
     pipe = TI2VPipeline.from_config(cfg, jax.random.PRNGKey(0),
                                     dtype=jnp.float32)
+    # a strict failure must not mutate the pipe: make the T5 file present
+    # (contents never read — presence is checked for ALL components before
+    # any load), then assert no torn half-loaded state is left behind
+    t5_before = pipe.t5_params
+    torch.save({}, tmp_path / "models_t5_umt5-xxl-enc-bf16.pth")
     with pytest.raises(RuntimeError, match="missing.*Wan2.2_VAE"):
         load_torch_weights(pipe, str(tmp_path), load_dit=False)
+    assert pipe.t5_params is t5_before
+    (tmp_path / "models_t5_umt5-xxl-enc-bf16.pth").unlink()
     # non-strict loads the present subset silently
     load_torch_weights(pipe, str(tmp_path), load_dit=False, strict=False)

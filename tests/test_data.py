@@ -86,6 +86,9 @@ def test_resolve_tokenizer_path(tmp_path):
     d = tmp_path / "google" / "umt5-xxl"
     d.mkdir(parents=True)
     assert resolve_tokenizer_path(None, str(tmp_path)) == str(d)
+    # 'hash' forces the fallback even when ckpt_dir ships a tokenizer —
+    # the escape hatch when the shipped tokenizer cannot load in this env
+    assert resolve_tokenizer_path("hash", str(tmp_path)) is None
 
 
 def test_tokenizer_fallback():

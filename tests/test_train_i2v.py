@@ -216,6 +216,17 @@ def test_build_i2v_batch_short_clip_forces_i2v():
     assert batch["latents"].shape[1] == 6
 
 
+def test_build_i2v_batch_too_short_raises():
+    """A clip shorter than frame_zero after the s0·n+1 trim cannot form the
+    static i2v tail — must fail loudly, not slice an empty history."""
+    pipe = _tiny_pipe()
+    video = jax.random.uniform(jax.random.PRNGKey(5), (1, 1, 16, 16, 3),
+                               minval=-1, maxval=1)
+    ctx = jnp.zeros((1, 16, 16))
+    with pytest.raises(ValueError, match="too short"):
+        build_i2v_train_batch(pipe, video, ctx, rand_num_img=0.9)
+
+
 def test_msk_matches_reference_construction():
     """build_mask_channels (v2v, cond_pixel_frames>1) must reproduce the
     reference's repeat_interleave/view/transpose msk exactly

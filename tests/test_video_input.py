@@ -74,6 +74,28 @@ def test_input_video_cli_smoke_14b(video_tree, tmp_path):
     assert len(outs) == 1
 
 
+def test_input_video_distilled_cond_only(video_tree, tmp_path, monkeypatch):
+    """--distilled in video-input mode must run cond-only (ctx_null=None) —
+    it was silently ignored (full CFG) before."""
+    from yume_tpu import sample as sample_mod
+    from yume_tpu.pipelines.i2v import I2VPipeline
+
+    seen = []
+    orig = I2VPipeline.generate_next
+
+    def spy(self, history, ctx, ctx_null, **kw):
+        seen.append(ctx_null)
+        return orig(self, history, ctx, ctx_null, **kw)
+
+    monkeypatch.setattr(I2VPipeline, "generate_next", spy)
+    mp4 = os.path.join(video_tree, "key_forward", "clip.mp4")
+    rc = sample_mod.main([
+        "--smoke", "--config", "i2v-14B", "--input_video", mp4, "--distilled",
+        "--steps", "2", "--output_dir", str(tmp_path)])
+    assert rc == 0
+    assert seen and all(c is None for c in seen)
+
+
 def test_video_mode_no_inputs_raises(tmp_path):
     from yume_tpu import sample as sample_mod
 

@@ -139,6 +139,26 @@ class PipelineConfig:
         "毁容的,形态畸形的肢体,手指融合,静止不动的画面,杂乱的背景,三条腿,背景人很多,倒着走"
     )
 
+    def check_i2v_channels(self) -> "PipelineConfig":
+        """Validate the coupled i2v channel arithmetic that tiny smoke
+        configs (sample.py/train.py/tests) must keep in sync with the real
+        14B numbers: the DiT input is [x (z), msk (stride_t·(stride_t+... )),
+        VAE(y) (z)] → in_dim = 2·z + mask_ch where mask_ch = vae.stride[0]
+        (4 for Wan2.1: 36 = 16+4+16), out_dim = z, and the CLIP branch's
+        token count/width must match the DiT cross-attn image slots."""
+        if self.dit.model_type == "i2v":
+            z, s0 = self.vae.z_dim, self.vae.stride[0]
+            assert self.dit.in_dim == 2 * z + s0, (
+                f"i2v in_dim must be 2*z_dim+stride_t = {2 * z + s0}, "
+                f"got {self.dit.in_dim}")
+            assert self.dit.out_dim == z, (self.dit.out_dim, z)
+            if self.clip is not None:
+                assert self.dit.image_context_len == self.clip.out_tokens, (
+                    self.dit.image_context_len, self.clip.out_tokens)
+                assert self.dit.image_dim == self.clip.dim, (
+                    self.dit.image_dim, self.clip.dim)
+        return self
+
 
 def ti2v_5b() -> PipelineConfig:
     """Yume-1.5 / 5B / 720P (reference wan23/textimage2video.py:129-142)."""
@@ -177,7 +197,7 @@ def i2v_14b() -> PipelineConfig:
         sample_shift=3.0,
         frame_num=81,
         sample_fps=16,
-    )
+    ).check_i2v_channels()
 
 
 CONFIGS = {

@@ -19,11 +19,15 @@ import numpy as np
 
 
 def resolve_tokenizer_path(explicit, ckpt_dir):
-    """Explicit path wins; otherwise the reference checkpoint layout ships
-    the umt5 tokenizer inside checkpoint_dir (config.t5_tokenizer =
-    'google/umt5-xxl', wan/text2video.py:74)."""
+    """Explicit path wins; ``--tokenizer hash`` forces the fallback (the
+    escape hatch when a ckpt_dir ships a tokenizer this env cannot load);
+    otherwise the reference checkpoint layout ships the umt5 tokenizer
+    inside checkpoint_dir (config.t5_tokenizer = 'google/umt5-xxl',
+    wan/text2video.py:74)."""
     import os
 
+    if explicit == "hash":
+        return None
     if explicit or not ckpt_dir:
         return explicit
     cand = os.path.join(ckpt_dir, "google", "umt5-xxl")

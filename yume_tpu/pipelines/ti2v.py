@@ -29,6 +29,14 @@ from ..utils.masks import masks_like
 # A mutable slot (not a jit argument): the compiled program references the
 # stable _dispatch_progress fn, so swapping callbacks per request never
 # changes the jit cache key.
+#
+# Contract: process-global and overwritten at the start of every euler
+# generate_segment (set to None for progress-less calls, so the previous
+# request's closure is dropped on the next call rather than eagerly —
+# io_callbacks can still fire after the dispatching Python call returns).
+# Concurrent generate_segment calls from multiple threads would cross-wire
+# progress; serialize requests (the webapp holds a lock) or run one
+# pipeline per process.
 _PROGRESS_SLOT: list = [None]
 
 

@@ -97,7 +97,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output_dir", default="./outputs")
     p.add_argument("--smoke", action="store_true", help="tiny shapes, random weights")
-    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--tokenizer", default=None,
+                   help="local umt5-xxl tokenizer dir (auto-discovered "
+                        "inside --ckpt_dir); 'hash' forces the fallback")
     p.add_argument("--refine_prompt", action="store_true",
                    help="refine prompts (local HF model via --refiner_model, "
                         "template fallback otherwise)")
@@ -139,7 +141,7 @@ def load_pipeline(args):
                 clip=CLIPConfig(image_size=16, patch_size=8, dim=12,
                                 num_heads=2, num_layers=1, out_tokens=5),
                 latent_frame_zero=2,
-            )
+            ).check_i2v_channels()
         else:
             cfg = dataclasses.replace(
                 cfg,
@@ -203,19 +205,38 @@ def load_torch_weights(pipe, ckpt_dir: str, *, load_dit: bool = True,
                                    convert_vae22_state_dict,
                                    load_safetensors_state_dict)
 
-    missing = []
-    if load_dit:
-        dit_sd = load_safetensors_state_dict(ckpt_dir)
-        if dit_sd:
-            pipe.dit_params = convert_dit_state_dict(
-                dit_sd, pipe.config.dit.num_layers)
-        else:
-            missing.append("DiT (*.safetensors [+ index.json])")
     import torch
 
+    # check presence of EVERY component before mutating the pipe — a strict
+    # failure must not leave a half-loaded (real-DiT/random-VAE) pipeline
+    missing = []
+    dit_sd = None
+    if load_dit:
+        dit_sd = load_safetensors_state_dict(ckpt_dir)
+        if not dit_sd:
+            missing.append("DiT (*.safetensors [+ index.json])")
     vae_file = ("Wan2.2_VAE.pth" if pipe.config.vae.arch == "wan22"
                 else "Wan2.1_VAE.pth")
     vae_path = os.path.join(ckpt_dir, vae_file)
+    if not os.path.exists(vae_path):
+        missing.append(vae_file)
+    t5_path = os.path.join(ckpt_dir, "models_t5_umt5-xxl-enc-bf16.pth")
+    if not os.path.exists(t5_path):
+        missing.append("models_t5_umt5-xxl-enc-bf16.pth")
+    clip_file = "models_clip_open-clip-xlm-roberta-large-vit-huge-14.pth"
+    clip_path = os.path.join(ckpt_dir, clip_file)
+    has_clip = getattr(pipe, "clip", None) is not None
+    if has_clip and not os.path.exists(clip_path):
+        missing.append(clip_file)
+    if missing and strict:
+        raise RuntimeError(
+            f"checkpoint dir {ckpt_dir!r} is missing: {', '.join(missing)} "
+            "— refusing to run with random-init modules (pass strict=False "
+            "to load the subset that is present)")
+
+    if dit_sd:
+        pipe.dit_params = convert_dit_state_dict(
+            dit_sd, pipe.config.dit.num_layers)
     if os.path.exists(vae_path):
         if pipe.config.vae.arch == "wan22":
             pipe.vae_params = convert_vae22_state_dict(
@@ -227,30 +248,15 @@ def load_torch_weights(pipe, ckpt_dir: str, *, load_dit: bool = True,
             pipe.vae_params = convert_vae21_state_dict(
                 torch.load(vae_path, map_location="cpu"),
                 num_res_blocks=pipe.config.vae.num_res_blocks)
-    else:
-        missing.append(vae_file)
-    t5_path = os.path.join(ckpt_dir, "models_t5_umt5-xxl-enc-bf16.pth")
     if os.path.exists(t5_path):
         pipe.t5_params = convert_t5_state_dict(
             torch.load(t5_path, map_location="cpu"), pipe.config.t5.num_layers)
-    else:
-        missing.append("models_t5_umt5-xxl-enc-bf16.pth")
-    clip_file = "models_clip_open-clip-xlm-roberta-large-vit-huge-14.pth"
-    clip_path = os.path.join(ckpt_dir, clip_file)
-    if getattr(pipe, "clip", None) is not None:
-        if os.path.exists(clip_path):
-            from .utils.checkpoint import convert_clip_visual_state_dict
+    if has_clip and os.path.exists(clip_path):
+        from .utils.checkpoint import convert_clip_visual_state_dict
 
-            pipe.clip_params = convert_clip_visual_state_dict(
-                torch.load(clip_path, map_location="cpu"),
-                num_layers=pipe.config.clip.num_layers)
-        else:
-            missing.append(clip_file)
-    if missing and strict:
-        raise RuntimeError(
-            f"checkpoint dir {ckpt_dir!r} is missing: {', '.join(missing)} "
-            "— refusing to run with random-init modules (pass strict=False "
-            "to load the subset that is present)")
+        pipe.clip_params = convert_clip_visual_state_dict(
+            torch.load(clip_path, map_location="cpu"),
+            num_layers=pipe.config.clip.num_layers)
 
 
 def _host_dit_tree(args, cfg, pipe):
@@ -478,7 +484,9 @@ def _run_video(args, cfg, pipe, encode, sampler, size, steps, slot=None):
         ctx = encode(cap)
         t0 = time.time()
         if isinstance(pipe, I2VPipeline):
-            ctx_null = encode(args.neg_prompt or cfg.sample_neg_prompt)
+            # --distilled: cond-only few-step serving, same as the jpg path
+            ctx_null = (None if args.distilled
+                        else encode(args.neg_prompt or cfg.sample_neg_prompt))
             # first frame ×16 prepended (reference sample.py:711); the
             # repeat count is nudged so the history length is ≡1 (mod s0)
             # and streams through the causal VAE exactly

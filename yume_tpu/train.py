@@ -65,6 +65,10 @@ def build_argparser():
                         "params (base frozen; single-chip 5B finetune)")
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--export_torch_dir", default=None,
+                   help="after training, export the EMA DiT to the "
+                        "reference's sharded-safetensors torch layout "
+                        "(TPU-trained -> torch-served interchange)")
     p.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler trace over the step window "
                         "given by --profile_steps (xprof/tensorboard logdir)")
@@ -116,7 +120,7 @@ def main(argv=None):
                             num_heads=2, num_layers=1, text_len=16),
                 clip=CLIPConfig(image_size=16, patch_size=8, dim=12,
                                 num_heads=2, num_layers=1, out_tokens=5),
-                latent_frame_zero=2)
+                latent_frame_zero=2).check_i2v_channels()
         else:
             dit_cfg = DiTConfig(model_type="ti2v", in_dim=8, out_dim=8, dim=64,
                                 ffn_dim=128, freq_dim=32, text_dim=16,
@@ -441,6 +445,19 @@ def main(argv=None):
         ckpter.close()  # drain the in-flight async save
     if loader is not None:
         loader.close()
+    if args.export_torch_dir:
+        from .utils.checkpoint import (export_dit_state_dict,
+                                       save_sharded_safetensors)
+
+        ema = state.ema_params
+        if args.lora_rank:
+            from .training.lora import merge_lora
+
+            ema = merge_lora(params, ema)
+        sd = export_dit_state_dict(jax.device_get(ema), dit_cfg.num_layers)
+        save_sharded_safetensors(sd, args.export_torch_dir)
+        main_print(f"exported {len(sd)} EMA DiT tensors to "
+                   f"{args.export_torch_dir} (reference torch layout)")
     return 0
 
 

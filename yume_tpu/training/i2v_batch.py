@@ -69,7 +69,17 @@ def build_i2v_train_batch(
     b, f_px = video.shape[:2]
     video = video[:, : trim_s0n1(f_px, s0)]
     f_px = video.shape[1]
-    if f_px <= frame_zero:
+    if f_px < frame_zero:
+        # the i2v tail must be exactly frame_zero frames and no branch can
+        # produce the static shape from fewer — fail with the actual minimum
+        # instead of slicing an empty history (VAE crash downstream)
+        raise ValueError(
+            f"clip too short for i2v-14B training: {f_px} frames after the "
+            f"s0·n+1 trim < frame_zero={frame_zero}; provide clips with at "
+            f"least {frame_zero} pixel frames")
+    if f_px == frame_zero:
+        # no history to split off — force the i2v branch (the reference
+        # forces rand_num_img<0.4 for short clips, distill_model.py:262-267)
         rand_num_img = 0.3
     if rand_num_img < 0.4:
         # i2v: keep the trailing 33 frames, prepend the FIRST of them

@@ -539,6 +539,141 @@ def load_safetensors_state_dict(path: str) -> Dict[str, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
+# Export back to the reference torch layout (TPU-trained → torch-served)
+# ---------------------------------------------------------------------------
+
+
+def get_in(tree: Dict, path: str):
+    node = tree
+    for k in path.split("/"):
+        node = node[k]
+    return node
+
+
+def export_dit_state_dict(params: Dict, num_layers: int) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_dit_state_dict`: a WanDiT param tree → the
+    reference ``WanModel`` state-dict naming (wan23/modules/model.py /
+    wan/modules/model.py), so TPU-trained weights can be served by the
+    torch reference stack. Exact inverse: converting the export back
+    reproduces the input tree bit-for-bit (float32)."""
+    p = params.get("params", params)
+
+    def have(path: str) -> bool:
+        node = p
+        for k in path.split("/"):
+            if not isinstance(node, dict) or k not in node:
+                return False
+            node = node[k]
+        return True
+
+    sd: Dict[str, np.ndarray] = {}
+
+    def dense(src: str, dst: str):
+        # our [I, O] kernel → torch Linear [O, I]
+        sd[f"{dst}.weight"] = np.asarray(get_in(p, f"{src}/kernel"),
+                                         np.float32).T
+        if have(f"{src}/bias"):
+            sd[f"{dst}.bias"] = np.asarray(get_in(p, f"{src}/bias"),
+                                           np.float32)
+
+    def rms(src: str, dst: str):
+        sd[f"{dst}.weight"] = np.asarray(get_in(p, f"{src}/weight"),
+                                         np.float32)
+
+    def conv(src: str, dst: str):
+        # flax (kT, kH, kW, I, O) → torch Conv3d (O, I, kT, kH, kW)
+        sd[f"{dst}.weight"] = np.asarray(get_in(p, f"{src}/kernel"),
+                                         np.float32).transpose(4, 3, 0, 1, 2)
+        sd[f"{dst}.bias"] = np.asarray(get_in(p, f"{src}/bias"), np.float32)
+
+    def leaf(src: str, dst: str):
+        sd[dst] = np.asarray(get_in(p, src), np.float32)
+
+    for name in ("patch_embedding", "patch_embedding_2x", "patch_embedding_4x",
+                 "patch_embedding_8x", "patch_embedding_16x",
+                 "patch_embedding_2x_f"):
+        if have(name):
+            conv(name, name)
+
+    dense("text_embedding_0", "text_embedding.0")
+    dense("text_embedding_2", "text_embedding.2")
+    dense("time_embedding_0", "time_embedding.0")
+    dense("time_embedding_2", "time_embedding.2")
+    dense("time_projection_1", "time_projection.1")
+    if have("img_emb_1"):  # 14B CLIP branch (MLPProj)
+        leaf("img_emb_norm1/scale", "img_emb.proj.0.weight")
+        leaf("img_emb_norm1/bias", "img_emb.proj.0.bias")
+        dense("img_emb_1", "img_emb.proj.1")
+        dense("img_emb_3", "img_emb.proj.3")
+        leaf("img_emb_norm4/scale", "img_emb.proj.4.weight")
+        leaf("img_emb_norm4/bias", "img_emb.proj.4.bias")
+
+    def block(src: str, dst: str):
+        leaf(f"{src}/modulation", f"{dst}.modulation")
+        for a in ("q", "k", "v", "o"):
+            dense(f"{src}/self_attn/{a}", f"{dst}.self_attn.{a}")
+        rms(f"{src}/self_attn/norm_q", f"{dst}.self_attn.norm_q")
+        rms(f"{src}/self_attn/norm_k", f"{dst}.self_attn.norm_k")
+        for a in ("q", "k", "v", "o"):
+            dense(f"{src}/cross_attn/{a}", f"{dst}.cross_attn.{a}")
+        rms(f"{src}/cross_attn/norm_q", f"{dst}.cross_attn.norm_q")
+        rms(f"{src}/cross_attn/norm_k", f"{dst}.cross_attn.norm_k")
+        for a in ("k_img", "v_img"):
+            if have(f"{src}/cross_attn/{a}"):
+                dense(f"{src}/cross_attn/{a}", f"{dst}.cross_attn.{a}")
+        if have(f"{src}/cross_attn/norm_k_img"):
+            rms(f"{src}/cross_attn/norm_k_img", f"{dst}.cross_attn.norm_k_img")
+        if have(f"{src}/norm3"):
+            leaf(f"{src}/norm3/weight", f"{dst}.norm3.weight")
+            leaf(f"{src}/norm3/bias", f"{dst}.norm3.bias")
+        dense(f"{src}/ffn_0", f"{dst}.ffn.0")
+        dense(f"{src}/ffn_2", f"{dst}.ffn.2")
+
+    for i in range(num_layers):
+        block(f"blocks_{i}", f"blocks.{i}")
+    if have("sideblock"):
+        block("sideblock", "sideblock")
+    if have("mask_token"):
+        leaf("mask_token", "mask_token")
+
+    leaf("head/modulation", "head.modulation")
+    dense("head/head", "head.head")
+    return sd
+
+
+def save_sharded_safetensors(sd: Mapping[str, np.ndarray], out_dir: str,
+                             n_shards: int = 3,
+                             base: str = "diffusion_pytorch_model"):
+    """Write a flat numpy state dict as the released-checkpoint layout:
+    n sharded ``.safetensors`` + ``<base>.safetensors.index.json`` with a
+    weight_map (what ``resume_checkpoint_yume`` consumes,
+    fastvideo/utils/checkpoint.py:285-337)."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    keys = sorted(sd.keys())
+    n_shards = max(1, min(n_shards, len(keys)))
+    weight_map: Dict[str, str] = {}
+    shards: list = [dict() for _ in range(n_shards)]
+    total = 0
+    for i, k in enumerate(keys):
+        fname = f"{base}-{i % n_shards + 1:05d}-of-{n_shards:05d}.safetensors"
+        arr = np.ascontiguousarray(sd[k])
+        shards[i % n_shards][k] = arr
+        weight_map[k] = fname
+        total += arr.nbytes
+    os.makedirs(out_dir, exist_ok=True)
+    for s, tensors in enumerate(shards):
+        save_file(tensors, os.path.join(
+            out_dir, f"{base}-{s + 1:05d}-of-{n_shards:05d}.safetensors"))
+    with open(os.path.join(out_dir, f"{base}.safetensors.index.json"),
+              "w") as f:
+        json.dump({"metadata": {"total_size": total},
+                   "weight_map": weight_map}, f)
+
+
+# ---------------------------------------------------------------------------
 # Orbax training-state checkpointing
 # ---------------------------------------------------------------------------
 
