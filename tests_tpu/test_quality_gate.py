@@ -94,6 +94,10 @@ def _tail(pipe, base, **kw):
     ("int4", 46.0),
     ("w8a8", 64.0),
     ("w8a8+teacache", 36.0),
+    # int8 storage + w8a8: the stored int8 kernels feed the MXU directly
+    # (ops/quant_matmul.py::q8_dot — single weight rounding, activations
+    # quantized dynamically); one rounding fewer than dequant→requant
+    ("int8+w8a8", 58.0),
 ])
 def test_serving_mode_psnr(base, mode, floor):
     from yume_tpu.models.dit import WanDiT
@@ -114,8 +118,13 @@ def test_serving_mode_psnr(base, mode, floor):
             dit=WanDiT(dit_cfg, dtype=jnp.bfloat16),
             dit_params=pipe.dit_params, vae=pipe.vae,
             vae_params=pipe.vae_params, t5=pipe.t5, t5_params=pipe.t5_params)
-        sampler = "teacache" if mode.endswith("teacache") else "euler"
-        got = _tail(wpipe, base, sampler=sampler)
+        if mode == "int8+w8a8":
+            wpipe = copy.copy(wpipe)
+            wpipe.quantize_int8(bits=8)
+            got = _tail(wpipe, base, sampler="euler")
+        else:
+            sampler = "teacache" if mode.endswith("teacache") else "euler"
+            got = _tail(wpipe, base, sampler=sampler)
     p = _psnr(base["ref"], got)
     print(f"quality[{mode}] latent PSNR {p:.1f} dB (floor {floor})")
     assert np.isfinite(p)

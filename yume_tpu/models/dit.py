@@ -43,8 +43,10 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
+from flax.linen import dtypes
+
 from ..configs import DiTConfig
-from ..ops import rope as rope_lib
+from ..ops import quant_matmul, rope as rope_lib
 from ..ops.attention import attention
 
 
@@ -143,13 +145,45 @@ class Modulation:
 # ---------------------------------------------------------------------------
 
 
-def _dg(cfg: DiTConfig):
-    """dot_general for the big block matmuls: int8 MXU when cfg.w8a8."""
-    if not cfg.w8a8:
-        return None
-    from ..ops.quant_matmul import int8_dot_general
+class QDense(nn.Module):
+    """``nn.Dense`` drop-in for the block matmuls (param-compatible: same
+    kernel/bias names, shapes, and inits) whose kernel may arrive as a
+    :class:`~yume_tpu.ops.quant_matmul.Q8` struct from the int8-storage
+    trunk (models/quantized.py) instead of a plain array.
 
-    return int8_dot_general
+    ========  =======  =================================================
+    kernel    w8a8     path
+    ========  =======  =================================================
+    array     False    exact nn.Dense semantics
+    array     True     dynamic W8A8 (int8_dot_general: requantize weights)
+    Q8        True     stored int8 weights straight to the MXU — no
+                       per-step dequantize→requantize round-trip
+    Q8        False    dequantize, exact bf16 matmul (context-side k/v)
+    ========  =======  =================================================
+    """
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+    w8a8: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (jnp.shape(x)[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        if isinstance(kernel, quant_matmul.Q8):
+            if self.w8a8:
+                y = quant_matmul.q8_dot(x, kernel, self.dtype or x.dtype)
+                return y + bias.astype(y.dtype)
+            kernel = quant_matmul.q8_dequant(kernel, self.dtype or x.dtype)
+        x, kernel, bias = dtypes.promote_dtype(x, kernel, bias,
+                                               dtype=self.dtype)
+        dn = (((x.ndim - 1,), (0,)), ((), ()))
+        if self.w8a8:
+            return quant_matmul.int8_dot_general(x, kernel, dn) + bias
+        return jax.lax.dot_general(x, kernel, dn) + bias
 
 
 class SelfAttention(nn.Module):
@@ -160,10 +194,9 @@ class SelfAttention(nn.Module):
         c = self.cfg
         b, l, _ = x.shape
         n, d = c.num_heads, c.head_dim
-        dg = _dg(c)
-        q = nn.Dense(c.dim, name="q", dtype=x.dtype, dot_general=dg)(x)
-        k = nn.Dense(c.dim, name="k", dtype=x.dtype, dot_general=dg)(x)
-        v = nn.Dense(c.dim, name="v", dtype=x.dtype, dot_general=dg)(x)
+        q = QDense(c.dim, name="q", dtype=x.dtype, w8a8=c.w8a8)(x)
+        k = QDense(c.dim, name="k", dtype=x.dtype, w8a8=c.w8a8)(x)
+        v = QDense(c.dim, name="v", dtype=x.dtype, w8a8=c.w8a8)(x)
         if c.qk_norm:
             q = RMSNorm(c.dim, c.eps, name="norm_q")(q)
             k = RMSNorm(c.dim, c.eps, name="norm_k")(k)
@@ -173,8 +206,8 @@ class SelfAttention(nn.Module):
         q = rope_lib.apply_rope(q, rope_cos, rope_sin)
         k = rope_lib.apply_rope(k, rope_cos, rope_sin)
         o = attention(q, k, v, impl=attn_impl)
-        return nn.Dense(c.dim, name="o", dtype=x.dtype,
-                        dot_general=dg)(o.reshape(b, l, c.dim))
+        return QDense(c.dim, name="o", dtype=x.dtype,
+                      w8a8=c.w8a8)(o.reshape(b, l, c.dim))
 
 
 class CrossAttention(nn.Module):
@@ -188,11 +221,10 @@ class CrossAttention(nn.Module):
         c = self.cfg
         b, l, _ = x.shape
         n, d = c.num_heads, c.head_dim
-        dg = _dg(c)
         # context-side k/v stay exact (negligible FLOPs at 512 tokens)
-        q = nn.Dense(c.dim, name="q", dtype=x.dtype, dot_general=dg)(x)
-        k = nn.Dense(c.dim, name="k", dtype=x.dtype)(context)
-        v = nn.Dense(c.dim, name="v", dtype=x.dtype)(context)
+        q = QDense(c.dim, name="q", dtype=x.dtype, w8a8=c.w8a8)(x)
+        k = QDense(c.dim, name="k", dtype=x.dtype)(context)
+        v = QDense(c.dim, name="v", dtype=x.dtype)(context)
         if c.qk_norm:
             q = RMSNorm(c.dim, c.eps, name="norm_q")(q)
             k = RMSNorm(c.dim, c.eps, name="norm_k")(k)
@@ -200,8 +232,8 @@ class CrossAttention(nn.Module):
         k = k.reshape(b, -1, n, d)
         v = v.reshape(b, -1, n, d)
         o = attention(q, k, v, impl=attn_impl)
-        return nn.Dense(c.dim, name="o", dtype=x.dtype,
-                        dot_general=dg)(o.reshape(b, l, c.dim))
+        return QDense(c.dim, name="o", dtype=x.dtype,
+                      w8a8=c.w8a8)(o.reshape(b, l, c.dim))
 
 
 class I2VCrossAttention(nn.Module):
@@ -215,27 +247,26 @@ class I2VCrossAttention(nn.Module):
         c = self.cfg
         b, l, _ = x.shape
         n, d = c.num_heads, c.head_dim
-        dg = _dg(c)
         ctx_img = context[:, : c.image_context_len]
         ctx_txt = context[:, c.image_context_len:]
-        q = nn.Dense(c.dim, name="q", dtype=x.dtype, dot_general=dg)(x)
+        q = QDense(c.dim, name="q", dtype=x.dtype, w8a8=c.w8a8)(x)
         if c.qk_norm:
             q = RMSNorm(c.dim, c.eps, name="norm_q")(q)
         q = q.reshape(b, l, n, d)
 
-        k = nn.Dense(c.dim, name="k", dtype=x.dtype)(ctx_txt)
-        v = nn.Dense(c.dim, name="v", dtype=x.dtype)(ctx_txt)
+        k = QDense(c.dim, name="k", dtype=x.dtype)(ctx_txt)
+        v = QDense(c.dim, name="v", dtype=x.dtype)(ctx_txt)
         if c.qk_norm:
             k = RMSNorm(c.dim, c.eps, name="norm_k")(k)
-        k_img = nn.Dense(c.dim, name="k_img", dtype=x.dtype)(ctx_img)
-        v_img = nn.Dense(c.dim, name="v_img", dtype=x.dtype)(ctx_img)
+        k_img = QDense(c.dim, name="k_img", dtype=x.dtype)(ctx_img)
+        v_img = QDense(c.dim, name="v_img", dtype=x.dtype)(ctx_img)
         if c.qk_norm:
             k_img = RMSNorm(c.dim, c.eps, name="norm_k_img")(k_img)
 
         o_txt = attention(q, k.reshape(b, -1, n, d), v.reshape(b, -1, n, d), impl=attn_impl)
         o_img = attention(q, k_img.reshape(b, -1, n, d), v_img.reshape(b, -1, n, d), impl=attn_impl)
         o = (o_txt + o_img).reshape(b, l, c.dim)
-        return nn.Dense(c.dim, name="o", dtype=x.dtype, dot_general=dg)(o)
+        return QDense(c.dim, name="o", dtype=x.dtype, w8a8=c.w8a8)(o)
 
 
 class DiTBlock(nn.Module):
@@ -276,12 +307,11 @@ class DiTBlock(nn.Module):
         x = x + cross_cls(c, name="cross_attn")(h, context, cross_impl)
 
         # FFN
-        dg = _dg(c)
         h = _layer_norm(x, c.eps) * (1.0 + e(4)) + e(3)
-        h = nn.Dense(c.ffn_dim, name="ffn_0", dtype=x.dtype,
-                     dot_general=dg)(h.astype(x.dtype))
+        h = QDense(c.ffn_dim, name="ffn_0", dtype=x.dtype,
+                   w8a8=c.w8a8)(h.astype(x.dtype))
         h = nn.gelu(h, approximate=True)
-        y = nn.Dense(c.dim, name="ffn_2", dtype=x.dtype, dot_general=dg)(h)
+        y = QDense(c.dim, name="ffn_2", dtype=x.dtype, w8a8=c.w8a8)(h)
         x = (x.astype(jnp.float32) + y.astype(jnp.float32) * e(5)).astype(x.dtype)
         return x
 

@@ -17,28 +17,12 @@ from __future__ import annotations
 
 from typing import Any, Optional, Tuple
 
-import flax.struct
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..models.dit import DiTBlock, WanDiT
-
-
-@flax.struct.dataclass
-class Q8:
-    """Per-output-channel int8 weight: w ≈ q.astype(f32) * scale."""
-    q: jax.Array       # int8 [..., in, out]
-    scale: jax.Array   # fp32 [..., 1, out]
-
-
-@flax.struct.dataclass
-class Q4:
-    """Group-wise int4 weight (AWQ-style, two nibbles per byte packed along
-    the input dim): w ≈ (unpack(q) - 8) * scale, one fp32 scale per
-    (input-group × output-channel)."""
-    q: jax.Array       # uint8 [..., in/group, group/2, out]
-    scale: jax.Array   # fp32 [..., in/group, 1, out]
+from ..ops.quant_matmul import Q4, Q8  # noqa: F401  (canonical home; re-exported)
 
 
 def _quantize_leaf(w: jax.Array):
@@ -205,9 +189,16 @@ def int8_dit_apply(
     block = DiTBlock(dit.cfg)
     ctx, cos, sin = emb["ctx"], emb["cos"], emb["sin"]
 
+    # W8A8 direct path: when the block matmuls run int8 anyway, keep the
+    # stored Q8 structs intact — QDense (models/dit.py) feeds q/scale to the
+    # MXU directly, skipping the per-layer dequantize→requantize round-trip
+    # (Q4 and small leaves still dequantize: int4 grouping ≠ the MXU scheme).
+    keep_q8 = bool(getattr(dit.cfg, "w8a8", False))
+
     def _dq(qslice):
         return jax.tree_util.tree_map(
-            lambda l: _dequantize_leaf(l, dit.dtype), qslice,
+            lambda l: l if (keep_q8 and isinstance(l, Q8))
+            else _dequantize_leaf(l, dit.dtype), qslice,
             is_leaf=lambda l: isinstance(l, (Q8, Q4)))
 
     def gather(i):

@@ -19,8 +19,54 @@ bf16/fp16); this is a beyond-reference TPU capability, gated off by default.
 
 from __future__ import annotations
 
+import flax.struct
 import jax
 import jax.numpy as jnp
+
+
+@flax.struct.dataclass
+class Q8:
+    """Per-output-channel int8 weight: w ≈ q.astype(f32) * scale."""
+    q: jax.Array       # int8 [..., in, out]
+    scale: jax.Array   # fp32 [..., 1, out]
+
+
+@flax.struct.dataclass
+class Q4:
+    """Group-wise int4 weight (AWQ-style, two nibbles per byte packed along
+    the input dim): w ≈ (unpack(q) - 8) * scale, one fp32 scale per
+    (input-group × output-channel)."""
+    q: jax.Array       # uint8 [..., in/group, group/2, out]
+    scale: jax.Array   # fp32 [..., in/group, 1, out]
+
+
+def q8_dot(x, w: Q8, dtype=None):
+    """``x @ dequant(w)`` with the STORED int8 weights going straight to the
+    MXU (W8A8 direct path for the int8-storage trunk).
+
+    The storage scheme of :class:`Q8` (symmetric per-output-channel absmax,
+    models/quantized.py::_quantize_leaf) is exactly the weight scheme
+    :func:`int8_dot_general` would re-derive — so instead of dequantizing to
+    bf16 in the scan body and re-quantizing inside the matmul (three extra
+    weight-sized HBM round-trips per layer per step), quantize only the
+    activations and rescale the s32 accumulator by a_scale · stored_scale.
+    Strictly more accurate than the round-trip (no second rounding).
+    """
+    a = x.astype(jnp.float32)
+    a_scale = jnp.maximum(jnp.max(jnp.abs(a), axis=-1, keepdims=True),
+                          1e-8) / 127.0
+    qa = jnp.clip(jnp.round(a / a_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        qa, w.q, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * a_scale * w.scale
+    return out.astype(dtype if dtype is not None else x.dtype)
+
+
+def q8_dequant(w: Q8, dtype=jnp.bfloat16):
+    """Q8 → dense weight (the exact-path fallback for Q8 kernels consumed by
+    projections that should stay bf16-exact, e.g. context-side k/v)."""
+    return (w.q.astype(jnp.float32) * w.scale).astype(dtype)
 
 
 def int8_dot_general(lhs, rhs, dimension_numbers, precision=None,
