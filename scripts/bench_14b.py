@@ -141,8 +141,17 @@ def main():
             f_cached = jax.jit(lambda o, s, c: int8_dit_apply(
                 dit_q, o, s, x, t, ctx, latent_frame_zero=lfz,
                 clip_context=clip_ctx, block_cache=c))
-            results["dit_fwd_s_w8a8_cached"] = timeit(f_cached, other,
-                                                      stacked, cache)
+            t_full = timeit(f_full, other, stacked)
+            t_cached = timeit(f_cached, other, stacked, cache)
+            results["dit_fwd_s_w8a8_full_with_cache"] = t_full
+            results["dit_fwd_s_w8a8_cached"] = t_cached
+            # distilled few-step serving (--distilled: cond-only euler, no
+            # CFG doubling — sample.py, reference sample_5b.py:942's 4-step
+            # recipe applied to 14B): TeaCache interval 3 over 4 steps =
+            # 2 full + 2 cached forwards; the euler update between forwards
+            # is a negligible elementwise pass
+            results["segment_s_distilled4_w8a8_teacache"] = (
+                2 * t_full + 2 * t_cached)
 
     if "unpacked" in variants:
         xt = x[:, -lfz:]
