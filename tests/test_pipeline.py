@@ -103,3 +103,41 @@ def test_t2v_multistep_solvers():
                                   guide_scale=3.0)
         assert video.shape == (1, 5, 32, 32, 3)
         assert np.isfinite(np.asarray(video)).all()
+
+
+def test_teacache_interval_plumbing():
+    """--teacache_interval reaches the sampler: different intervals change
+    which steps run the full DiT (full at i % N == 0), so at 4 steps the
+    interval-2 and interval-3 trajectories must differ; interval >= steps
+    degenerates to one full step + all-cached and still runs."""
+    pipe = _pipe()
+
+    # the zero-init head makes every sampler output v=0 identically — the
+    # comparison would be vacuous (same fix as tests_tpu/test_quality_gate)
+    def _randomize_head(path, leaf):
+        names = [getattr(p, "key", "") for p in path]
+        if "head" in names and names[-1] == "kernel":
+            return jax.random.normal(jax.random.PRNGKey(7), leaf.shape,
+                                     leaf.dtype) * 0.05
+        return leaf
+
+    pipe.dit_params = jax.tree_util.tree_map_with_path(
+        _randomize_head, pipe.dit_params)
+    ids = jnp.zeros((1, 16), jnp.int32)
+    ctx = pipe.encode_text(ids, jnp.ones_like(ids))
+    hist = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 4, 4, 8))
+    ref = pipe.generate_segment(hist, ctx, steps=4, sampler="euler")
+    tc2 = pipe.generate_segment(hist, ctx, steps=4, sampler="teacache",
+                                teacache_interval=2)
+    tc3 = pipe.generate_segment(hist, ctx, steps=4, sampler="teacache",
+                                teacache_interval=3)
+    tc9 = pipe.generate_segment(hist, ctx, steps=4, sampler="teacache",
+                                teacache_interval=9)
+    for out in (tc2, tc3, tc9):
+        assert out.shape == ref.shape
+        assert np.isfinite(np.asarray(out)).all()
+    assert not np.allclose(np.asarray(tc2), np.asarray(tc3))
+    # more cached steps ⇒ further from the dense trajectory (monotone gate)
+    err2 = float(np.mean((np.asarray(tc2) - np.asarray(ref)) ** 2))
+    err9 = float(np.mean((np.asarray(tc9) - np.asarray(ref)) ** 2))
+    assert err9 >= err2

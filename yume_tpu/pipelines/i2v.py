@@ -482,10 +482,13 @@ class I2VPipeline:
         history_mode: bool = False,
         seed: int = 0,
         sampler: str = "euler",
+        teacache_interval: int = 3,
     ) -> Tuple[jax.Array, jax.Array]:
         """One 14B segment: returns (latents [B, F_lat, h, w, 16], decoded
         video [B, frame_num, H, W, 3]). ``sampler``: 'euler' |
-        'teacache' (block-residual caching, ~28% fewer block evals).
+        'teacache' (block-residual caching; full DiT every
+        ``teacache_interval``-th step per CFG branch, quality-gated
+        on-chip).
         ``ctx_null=None`` is the DISTILLED few-step serving mode: one
         cond-only forward per step (the 5B path's 4-step trick composed
         with the 14B pipeline — guidance baked into distilled weights),
@@ -522,7 +525,7 @@ class I2VPipeline:
         if sampler == "teacache":
             latents = self._sample_cfg_teacache(
                 self.dit_params, noise, y, ctx, ctx_null, clip_ctx, steps,
-                shift, guide_scale)
+                shift, guide_scale, teacache_interval)
         elif sampler in ("sde", "time_travel", "tts"):
             # TTS: 'sde' = churn only, 'time_travel' = lookahead only,
             # 'tts' = both (reference sample_tts.py runs them combined)
@@ -552,6 +555,7 @@ class I2VPipeline:
         guide_scale: float = 5.0,
         seed: int = 0,
         sampler: str = "euler",
+        teacache_interval: int = 3,
     ) -> Tuple[jax.Array, jax.Array]:
         """Autoregressive continuation: re-condition on the decoded history
         video and denoise ``frame_zero`` new pixel frames (reference
@@ -562,5 +566,5 @@ class I2VPipeline:
         return self.generate(
             history_video, ctx, ctx_null, frame_num=frame_num, steps=steps,
             shift=shift, guide_scale=guide_scale, history_mode=True, seed=seed,
-            sampler=sampler,
+            sampler=sampler, teacache_interval=teacache_interval,
         )

@@ -520,6 +520,7 @@ class TI2VPipeline:
         sampler: str = "euler",
         progress_cb=None,
         noise: Optional[jax.Array] = None,
+        teacache_interval: int = 3,
     ) -> jax.Array:
         """One autoregressive continuation: append `latent_frame_zero` fresh
         noise frames after the history, denoise them (packed history,
@@ -527,7 +528,11 @@ class TI2VPipeline:
         sample_5b.py:920-1100). ``sampler``: 'euler' | 'sde' | 'time_travel'
         (TTS variants, reference sample_tts.py). ``progress_cb(sigma)`` is
         called from the device per denoise step (euler only). ``noise``
-        overrides the seeded tail noise (cross-framework parity tests)."""
+        overrides the seeded tail noise (cross-framework parity tests).
+        ``teacache_interval``: for sampler='teacache', run the full DiT
+        every N-th step (1 full : N−1 cached; quality-gated on-chip by
+        tests_tpu/test_quality_gate.py — the default matches bench.py's
+        best-serving headline)."""
         lfz = self.config.latent_frame_zero
         b, f_hist, h, w, c = history_latents.shape
         if noise is None:
@@ -551,7 +556,8 @@ class TI2VPipeline:
                                         progress_cb is not None)
         if sampler == "teacache":
             return self._sample_segment_teacache(
-                self.dit_params, latent, ctx, history_t, steps, shift, lfz)
+                self.dit_params, latent, ctx, history_t, steps, shift, lfz,
+                teacache_interval)
         return self._sample_segment_tts(
             self.dit_params, latent, ctx, history_t, steps, shift, lfz, sampler,
             jax.random.PRNGKey(seed + 7919))
@@ -564,6 +570,8 @@ class TI2VPipeline:
         steps: int = 4,
         shift: float = 7.0,
         seed: int = 0,
+        sampler: str = "euler",
+        teacache_interval: int = 3,
     ) -> Tuple[jax.Array, List[jax.Array]]:
         """Autoregressive rollout: `first_segment` [B, F0, h, w, z] latents
         (from t2v or an encoded image), then one segment per context in
@@ -573,7 +581,8 @@ class TI2VPipeline:
         videos = []
         for s, ctx in enumerate(ctxs):
             latents = self.generate_segment(
-                latents, ctx, steps=steps, shift=shift, seed=seed + s + 1
+                latents, ctx, steps=steps, shift=shift, seed=seed + s + 1,
+                sampler=sampler, teacache_interval=teacache_interval,
             )
             tail = latents[:, -self.config.latent_frame_zero:]
             videos.append(self.decode_auto(tail))

@@ -67,6 +67,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "on one 16 GB chip)")
     p.add_argument("--teacache", action="store_true",
                    help="block-residual caching between denoise steps")
+    p.add_argument("--teacache_interval", type=int, default=3,
+                   help="with --teacache: run the full DiT every N-th step "
+                        "(1 full : N-1 cached). 3 is the quality-gated "
+                        "best-serving default (bench.py headline); 2 is "
+                        "more conservative")
     p.add_argument("--distilled", action="store_true",
                    help="few-step distilled serving for the 14B pipeline: "
                         "one cond-only forward per step (no CFG — guidance "
@@ -503,7 +508,8 @@ def _run_video(args, cfg, pipe, encode, sampler, size, steps, slot=None):
                         history, ctx, ctx_null, frame_zero=frame_zero,
                         steps=steps, shift=args.shift,
                         guide_scale=args.guide_scale,
-                        seed=args.seed + s_idx, sampler=sampler)
+                        seed=args.seed + s_idx, sampler=sampler,
+                        teacache_interval=args.teacache_interval)
                 out = os.path.join(
                     args.output_dir, f"video{v_idx:03d}_seg{s_idx:03d}.mp4")
                 save_video(np.asarray(decoded[0, -frame_zero:]), out,
@@ -520,7 +526,8 @@ def _run_video(args, cfg, pipe, encode, sampler, size, steps, slot=None):
                     latents = pipe.generate_segment(
                         latents, ctx, steps=steps,
                         shift=args.shift or cfg.sample_shift,
-                        seed=args.seed + s_idx, sampler=sampler)
+                        seed=args.seed + s_idx, sampler=sampler,
+                        teacache_interval=args.teacache_interval)
                 vae_phase()
                 tail = pipe.decode_auto(
                     latents[:, -cfg.latent_frame_zero:])
@@ -569,7 +576,8 @@ def _run(args, cfg, pipe, encode, captions, sampler, size, frame_num, steps,
             latents, video = pipe.generate(
                 jnp.asarray(img)[None, None], ctx, ctx_null,
                 frame_num=frame_num, steps=steps, shift=args.shift,
-                guide_scale=args.guide_scale, seed=args.seed, sampler=sampler)
+                guide_scale=args.guide_scale, seed=args.seed, sampler=sampler,
+                teacache_interval=args.teacache_interval)
         save_video(np.asarray(video[0]),
                    os.path.join(args.output_dir, "segment_000.mp4"),
                    fps=cfg.sample_fps)
@@ -624,7 +632,8 @@ def _run(args, cfg, pipe, encode, captions, sampler, size, frame_num, steps,
             first_latents = pipe.generate_segment(
                 first_latents[:, : -cfg.latent_frame_zero], ctx,
                 steps=steps, shift=args.shift or cfg.sample_shift,
-                seed=args.seed, sampler=sampler)
+                seed=args.seed, sampler=sampler,
+                teacache_interval=args.teacache_interval)
         with phase("vae_decode"):
             vae_phase()
             video = pipe.decode_auto(first_latents)
@@ -643,7 +652,8 @@ def _run(args, cfg, pipe, encode, captions, sampler, size, frame_num, steps,
         with phase("generate"):
             latents = pipe.generate_segment(
                 latents, ctx, steps=steps, shift=args.shift or 7.0,
-                seed=args.seed + s, sampler=sampler)
+                seed=args.seed + s, sampler=sampler,
+                teacache_interval=args.teacache_interval)
         with phase("vae_decode"):
             vae_phase()
             tail_video = pipe.decode_auto(latents[:, -cfg.latent_frame_zero:])

@@ -315,9 +315,11 @@ def _generate(req, args):
     for s_idx in range(segments):
         _phase("dit")
         STATE["step"]["i"] = 0
-        latents = pipe.generate_segment(latents, ctx, steps=steps,
-                                        seed=seed + s_idx,
-                                        progress_cb=on_step)
+        latents = pipe.generate_segment(
+            latents, ctx, steps=steps, seed=seed + s_idx,
+            sampler="teacache" if args.teacache else "euler",
+            teacache_interval=args.teacache_interval,
+            progress_cb=None if args.teacache else on_step)
         videos.append(decode(latents[:, -cfg.latent_frame_zero:]))
         STATE["step"]["segment"] += 1
 
@@ -463,6 +465,11 @@ def build_argparser():
                    help="pipeline-parallel stages for the bf16 trunk")
     p.add_argument("--w8a8", action="store_true",
                    help="int8 MXU matmuls for the big block matmuls")
+    p.add_argument("--teacache", action="store_true",
+                   help="block-residual caching between denoise steps "
+                        "(the bench.py best-serving config)")
+    p.add_argument("--teacache_interval", type=int, default=3,
+                   help="with --teacache: full DiT every N-th step")
     return p
 
 
