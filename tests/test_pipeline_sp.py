@@ -59,6 +59,30 @@ def test_generate_segment_sp_matches_dense(kind, mesh_fn):
                                atol=5e-4, rtol=5e-4)
 
 
+def test_sp_mesh_refuses_samplers_that_bypass_the_sp_trunk():
+    """With a mesh set, samplers whose denoise closure uses the dense
+    dit.apply (tts/sde/time_travel/teacache) must refuse loudly instead of
+    silently degrading to single-program execution."""
+    pipe = _tiny_pipe()
+    latent = jax.random.normal(jax.random.PRNGKey(1), (1, 5, 4, 4, 8))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16))
+    pipe.mesh = make_mesh(data=1, fsdp=1, sp=8)
+    pipe.sp_kind = "ulysses"
+    for sampler in ("sde", "time_travel", "tts", "teacache"):
+        with pytest.raises(NotImplementedError, match="SP serving"):
+            pipe.generate_segment(latent, ctx, steps=2, sampler=sampler)
+
+
+def test_teacache_interval_validated():
+    pipe = _tiny_pipe()
+    latent = jax.random.normal(jax.random.PRNGKey(1), (1, 5, 4, 4, 8))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16))
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="teacache_interval"):
+            pipe.generate_segment(latent, ctx, steps=2, sampler="teacache",
+                                  teacache_interval=bad)
+
+
 def test_generate_segment_pp_matches_dense():
     """Pipeline-parallel trunk behind the same public API (the bf16
     multi-chip route: weights 1/S per chip)."""

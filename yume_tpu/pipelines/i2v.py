@@ -522,6 +522,16 @@ class I2VPipeline:
             raise NotImplementedError(
                 "distilled (ctx_null=None) serving supports the euler "
                 f"sampler, got {sampler!r}")
+        if self.mesh is not None and sampler == "teacache":
+            # _sample_cfg and _sample_cfg_tts route through sp_dit_apply,
+            # but the cached teacache forward uses the dense dit.apply —
+            # refuse instead of silently degrading to single-program
+            raise NotImplementedError(
+                "multi-chip SP serving supports euler/sde/time_travel "
+                "samplers; teacache needs the single-chip trunk")
+        if sampler == "teacache" and teacache_interval < 1:
+            raise ValueError(
+                f"teacache_interval must be >= 1, got {teacache_interval}")
         if sampler == "teacache":
             latents = self._sample_cfg_teacache(
                 self.dit_params, noise, y, ctx, ctx_null, clip_ctx, steps,

@@ -549,6 +549,18 @@ class TI2VPipeline:
                                                                   "teacache"):
             raise NotImplementedError(
                 f"int8 trunk supports euler/teacache samplers, got {sampler!r}")
+        if self.mesh is not None and sampler != "euler":
+            # only the euler trunk routes through sp_dit_apply; the TTS and
+            # TeaCache samplers use the dense dit.apply — running them with
+            # a mesh set would silently fall back to single-program
+            # execution instead of sharding, so refuse loudly (same style as
+            # the PP/int8 guards above)
+            raise NotImplementedError(
+                f"multi-chip SP serving supports the euler sampler, got "
+                f"{sampler!r}; drop --sp or use sampler='euler'")
+        if sampler == "teacache" and teacache_interval < 1:
+            raise ValueError(
+                f"teacache_interval must be >= 1, got {teacache_interval}")
         if sampler == "euler":
             _PROGRESS_SLOT[0] = progress_cb
             return self._sample_segment(self.dit_params, latent, ctx, history_t,

@@ -297,6 +297,11 @@ def _host_dit_tree(args, cfg, pipe):
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    if args.teacache and args.teacache_interval < 1:
+        # 0 would ZeroDivisionError inside jit tracing (i % interval);
+        # negatives silently run the full DiT only at step 0
+        raise SystemExit(
+            f"--teacache_interval must be >= 1, got {args.teacache_interval}")
     os.makedirs(args.output_dir, exist_ok=True)
 
     from .utils.runtime import enable_compilation_cache

@@ -320,6 +320,12 @@ def _generate(req, args):
             sampler="teacache" if args.teacache else "euler",
             teacache_interval=args.teacache_interval,
             progress_cb=None if args.teacache else on_step)
+        if args.teacache:
+            # the cached sampler has no per-step callback; report coarse
+            # per-segment progress so the UI doesn't appear stalled
+            STATE["step"]["i"] = steps
+            STATE["progress"] = (f"segment {STATE['step']['segment'] + 1}: "
+                                 f"denoise done, decoding")
         videos.append(decode(latents[:, -cfg.latent_frame_zero:]))
         STATE["step"]["segment"] += 1
 
