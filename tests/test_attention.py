@@ -115,3 +115,81 @@ def test_attention_dispatch_bf16(rng_np):
     q = jnp.asarray(rng_np.standard_normal((1, 128, 2, 64)), jnp.bfloat16)
     out = attention(q, q, q, impl="xla")
     assert out.dtype == jnp.bfloat16 and out.shape == q.shape
+
+
+# ---------------------------------------------------------------------------
+# partial attention (ring building block): per-block (o, lse) + merging
+# ---------------------------------------------------------------------------
+
+
+def test_flash_partial_merge_matches_full(rng_np):
+    """Running the flash kernel per kv-block and merging via logsumexp must
+    equal full attention — the invariant ring attention rests on."""
+    from yume_tpu.parallel.ulysses import _merge_partials
+
+    b, lq, lk, n, d = 1, 128, 512, 2, 64
+    q = jnp.asarray(rng_np.standard_normal((b, lq, n, d)).astype(np.float32))
+    k = jnp.asarray(rng_np.standard_normal((b, lk, n, d)).astype(np.float32))
+    v = jnp.asarray(rng_np.standard_normal((b, lk, n, d)).astype(np.float32))
+    want = xla_attention(q, k, v)
+
+    with _interpret_ctx():
+        o1, l1 = fa.flash_attention_partial(q, k[:, :256], v[:, :256])
+        o2, l2 = fa.flash_attention_partial(q, k[:, 256:], v[:, 256:])
+    o, _ = _merge_partials(o1.astype(jnp.float32), l1,
+                           o2.astype(jnp.float32), l2)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(want),
+                               atol=8e-3, rtol=8e-3)
+
+
+def test_flash_partial_fully_masked_block(rng_np):
+    """A fully masked kv block (kv_len=0) must merge to zero weight — the
+    ring-hop case where a shard holds only pad tokens."""
+    from yume_tpu.parallel.ulysses import _merge_partials
+
+    b, lq, lk, n, d = 1, 128, 128, 2, 64
+    q = jnp.asarray(rng_np.standard_normal((b, lq, n, d)).astype(np.float32))
+    k = jnp.asarray(rng_np.standard_normal((b, lk, n, d)).astype(np.float32))
+    v = jnp.asarray(rng_np.standard_normal((b, lk, n, d)).astype(np.float32))
+    want = xla_attention(q, k, v)
+    with _interpret_ctx():
+        o1, l1 = fa.flash_attention_partial(q, k, v)
+        o2, l2 = fa.flash_attention_partial(
+            q, k, v, kv_len=jnp.zeros((b,), jnp.int32))
+    o, _ = _merge_partials(o1.astype(jnp.float32), l1,
+                           o2.astype(jnp.float32), l2)
+    assert np.isfinite(np.asarray(o)).all()
+    np.testing.assert_allclose(np.asarray(o), np.asarray(want),
+                               atol=8e-3, rtol=8e-3)
+
+
+def test_flash_partial_grad_through_merge(rng_np):
+    """Gradients through per-block partial attention + lse merge must match
+    the dense attention gradient — exercises the lse-cotangent fold in the
+    partial VJP (ring attention training path)."""
+    from yume_tpu.parallel.ulysses import _merge_partials
+
+    b, lq, lk, n, d = 1, 128, 256, 1, 64
+    q = jnp.asarray(rng_np.standard_normal((b, lq, n, d)).astype(np.float32))
+    k = jnp.asarray(rng_np.standard_normal((b, lk, n, d)).astype(np.float32))
+    v = jnp.asarray(rng_np.standard_normal((b, lk, n, d)).astype(np.float32))
+    g = jnp.asarray(rng_np.standard_normal((b, lq, n, d)).astype(np.float32))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(xla_attention(q, k, v) * g)
+
+    def loss_blocked(q, k, v):
+        o1, l1 = fa.flash_attention_partial(q, k[:, :128], v[:, :128])
+        o2, l2 = fa.flash_attention_partial(q, k[:, 128:], v[:, 128:])
+        o, _ = _merge_partials(o1.astype(jnp.float32), l1,
+                               o2.astype(jnp.float32), l2)
+        return jnp.sum(o * g)
+
+    grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    with _interpret_ctx():
+        grads_got = jax.grad(loss_blocked, argnums=(0, 1, 2))(q, k, v)
+    for got, want, name in zip(grads_got, grads_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=5e-2, rtol=5e-2,
+            err_msg=name,
+        )

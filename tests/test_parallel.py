@@ -162,3 +162,60 @@ def test_ring_pad_masking(rng_np):
     got = fn(pad(q), pad(k), pad(v))[:, :l_true]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_ring_blocked_scale_no_full_score(rng_np):
+    """The blocked ring must never materialize a full per-hop score matrix
+    (the round-3 einsum version did: [B, N, Lq_local, Lk_local] fp32 ≈
+    8.5 GB/hop at the 720p sp=8 geometry). At global L=8192 / sp=8 / n=2
+    this asserts (a) parity vs dense attention on a query slice and (b) via
+    the optimized HLO, that no buffer reaches full-score size — the
+    explicit peak-memory witness that the ring runs at production token
+    counts (reference leans on xfuser's fused ring,
+    wan/distributed/xdit_context_parallel.py:179)."""
+    import re
+
+    mesh = make_mesh(data=1, fsdp=1, sp=8)
+    b, l, n, d = 1, 8192, 2, 32
+    block_kv = 128
+    mk = lambda: jnp.asarray(
+        rng_np.standard_normal((b, l, n, d)).astype(np.float32))
+    q, k, v = mk(), mk(), mk()
+
+    fn = jax.jit(sp_shard_map_attention(mesh, "ring", impl="xla",
+                                        block_kv=block_kv))
+    compiled = fn.lower(q, k, v).compile()
+    hlo = compiled.as_text()
+    # every fp32 buffer in the per-device program must stay far below the
+    # full-score size [1, n, Lq_local, Lk_local] = 2*1024*1024 elements
+    lq_local = l // 8
+    full_score = n * lq_local * lq_local
+    sizes = [int(np.prod([int(x) for x in m.group(1).split(",")]))
+             for m in re.finditer(r"f32\[([0-9,]+)\]", hlo)]
+    biggest = max(sizes)
+    assert biggest < full_score // 4, (
+        f"largest f32 buffer {biggest} vs full score {full_score}")
+
+    got = np.asarray(fn(q, k, v))
+    assert np.isfinite(got).all()
+    # parity on a query slice (dense over all 8192 keys, 256 queries)
+    want = xla_attention(q[:, :256], k, v)
+    np.testing.assert_allclose(got[:, :256], np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_ring_grad_matches_dense(rng_np):
+    """Ring attention must train: grads through the shard_map ring (blocked
+    partial attention + lse merges + ppermute) == dense attention grads."""
+    mesh = make_mesh(data=1, fsdp=1, sp=8)
+    q, k, v = _qkv(rng_np, l=128)
+    g = jnp.asarray(rng_np.standard_normal(q.shape).astype(np.float32))
+
+    ring = sp_shard_map_attention(mesh, "ring", impl="xla", block_kv=32)
+    loss_ring = lambda q, k, v: jnp.sum(ring(q, k, v) * g)
+    loss_ref = lambda q, k, v: jnp.sum(xla_attention(q, k, v) * g)
+    grads_got = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for got, want, name in zip(grads_got, grads_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4, err_msg=name)

@@ -222,14 +222,25 @@ def _bwd_dkv_kernel(kv_len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 def _bwd(scale, block_q, block_kv, res, g):
     q, k, v, o, lse, kv_len = res
     do = g
+    delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),
+                    axis=-1)[:, None, :]  # [BN, 1, Lq]
+    dq, dk, dv = _bwd_impl(scale, block_q, block_kv, q, k, v, do, lse,
+                           delta, kv_len)
+    return dq, dk, dv, None
+
+
+def _bwd_impl(scale, block_q, block_kv, q, k, v, do, lse, delta, kv_len):
+    """Shared flash backward given a precomputed ``delta`` [BN, 1, Lq].
+
+    For the plain attention VJP delta = Σ_d o·do; for the partial-attention
+    VJP (output includes lse) the lse cotangent folds in as
+    delta − g_lse, since ∂lse_i/∂s_ij = p̂_ij gives
+    ds = p̂ ∘ (dP − (delta − g_lse)·1ᵀ)."""
     bn, lq, d = q.shape
     lk = k.shape[1]
     bq = min(block_q, lq)
     bkv = min(block_kv, lk)
     q_blocks, kv_blocks = _cdiv(lq, bq), _cdiv(lk, bkv)
-
-    delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),
-                    axis=-1)[:, None, :]  # [BN, 1, Lq]
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, block_kv=bkv, kv_blocks=kv_blocks),
@@ -284,7 +295,7 @@ def _bwd(scale, block_q, block_kv, res, g):
         ),
     )(kv_len, q, k, v, do, lse, delta)
 
-    return dq, dk, dv, None
+    return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -347,3 +358,85 @@ def flash_attention(
     out = _flash(qf, kf, vf, kv_len_f, float(scale), bq, bkv)
     out = out[:, :lq].reshape(b, n, lq, d).transpose(0, 2, 1, 3)
     return out
+
+
+# ---------------------------------------------------------------------------
+# partial attention: (output, logsumexp) for cross-device softmax merging
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_partial(q, k, v, kv_len, scale, block_q, block_kv):
+    return _fwd(q, k, v, kv_len, scale, block_q, block_kv)
+
+
+def _flash_partial_fwd(q, k, v, kv_len, scale, block_q, block_kv):
+    out, lse = _fwd(q, k, v, kv_len, scale, block_q, block_kv)
+    return (out, lse), (q, k, v, out, lse, kv_len)
+
+
+def _flash_partial_bwd(scale, block_q, block_kv, res, g):
+    q, k, v, o, lse, kv_len = res
+    do, dlse = g
+    # ds = p̂ ∘ (dP − (Σ_d o·do − g_lse)·1ᵀ): the lse cotangent folds into
+    # delta, so the standard flash backward kernels apply unchanged
+    delta = (jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+             [:, None, :] - dlse.astype(jnp.float32))
+    dq, dk, dv = _bwd_impl(scale, block_q, block_kv, q, k, v, do, lse,
+                           delta, kv_len)
+    return dq, dk, dv, None
+
+
+_flash_partial.defvjp(_flash_partial_fwd, _flash_partial_bwd)
+
+
+def flash_attention_partial(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    kv_len: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    block_q: int = 1024,
+    block_kv: int = 1024,
+):
+    """Partial flash attention over a kv *block*: returns the per-block
+    normalized output [B, Lq, N, D] **and** its logsumexp [B, N, Lq] (f32),
+    so callers can merge softmax statistics across kv blocks held on other
+    devices (ring attention, `parallel/ulysses.py`) — the TPU-native
+    equivalent of the blocked ring math the reference gets from xfuser
+    (reference wan/distributed/xdit_context_parallel.py:179).
+
+    A fully masked block (kv_len ≤ 0) yields a garbage normalized output
+    with lse ≈ −2.4e38; any merge against a real block weighs it to zero.
+
+    Differentiable: the VJP consumes cotangents for BOTH outputs (the lse
+    gradient folds into the flash delta), so ring attention trains.
+    """
+    b, lq, n, d = q.shape
+    lk = k.shape[1]
+    if scale is None:
+        scale = d ** -0.5
+
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * x.shape[2], x.shape[1], d)
+
+    qf, kf, vf = fold(q), fold(k), fold(v)
+    bq = min(block_q, _round_up(lq, 128))
+    bkv = min(block_kv, _round_up(lk, 128))
+    lq_p, lk_p = _round_up(lq, bq), _round_up(lk, bkv)
+    if lq_p != lq:
+        qf = jnp.pad(qf, ((0, 0), (0, lq_p - lq), (0, 0)))
+    if lk_p != lk:
+        kf = jnp.pad(kf, ((0, 0), (0, lk_p - lk), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, lk_p - lk), (0, 0)))
+        if kv_len is None:
+            kv_len = jnp.full((b,), lk, jnp.int32)
+    if kv_len is None:
+        kv_len = jnp.full((b,), lk, jnp.int32)
+    kv_len_f = jnp.repeat(kv_len.astype(jnp.int32), n)
+
+    out, lse = _flash_partial(qf, kf, vf, kv_len_f, float(scale), bq, bkv)
+    out = out[:, :lq].reshape(b, n, lq, d).transpose(0, 2, 1, 3)
+    lse = lse[:, 0, :lq].reshape(b, n, lq)
+    return out, lse
