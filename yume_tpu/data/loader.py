@@ -17,6 +17,21 @@ import numpy as np
 
 
 class PrefetchLoader:
+    """Prefetching index-driven loader with multi-host input sharding.
+
+    On a multi-host mesh every process must consume DISJOINT samples (the
+    reference shards per rank everywhere: DistributedSampler,
+    fastvideo/distill_model.py:642-643; inference stride
+    ``(step-1)*world_size+rank``, fastvideo/sample/sample.py:667). Here the
+    global sample sequence is strided: process p draws indices
+    ``p, p+P, p+2P, …`` (P = process_count), so the union over processes
+    covers the stream with no overlap. Defaults read
+    ``jax.process_index()/process_count()`` so a single-host run is the
+    identity. The per-host batch then enters the mesh via
+    ``jax.device_put(batch, NamedSharding(mesh, P("data", …)))`` —
+    jax assembles the global array from each host's local shard.
+    """
+
     def __init__(
         self,
         sample_fn: Callable[[int], Dict],
@@ -25,9 +40,19 @@ class PrefetchLoader:
         num_workers: int = 2,
         prefetch: int = 4,
         collate: Optional[Callable[[List[Dict]], Dict]] = None,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
+        if process_index is None or process_count is None:
+            import jax
+
+            process_index = jax.process_index()
+            process_count = jax.process_count()
+        assert 0 <= process_index < process_count, (process_index, process_count)
         self.sample_fn = sample_fn
         self.batch_size = batch_size
+        self.process_index = process_index
+        self.process_count = process_count
         self.collate = collate or _default_collate
         self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._idx = 0
@@ -44,7 +69,9 @@ class PrefetchLoader:
         with self._idx_lock:
             start = self._idx
             self._idx += self.batch_size
-        return list(range(start, start + self.batch_size))
+        # global stream position → this process's disjoint stride
+        return [(start + j) * self.process_count + self.process_index
+                for j in range(self.batch_size)]
 
     def _worker(self):
         while not self._stop.is_set():

@@ -470,9 +470,14 @@ def iter_video_samples(args, size):
     if args.input_video:
         yield load(args.input_video, args.prompt)
     if args.video_root_dir:
-        for sub in sorted(glob.glob(os.path.join(args.video_root_dir, "*/"))):
-            for mp4 in sorted(glob.glob(os.path.join(sub, "*.mp4"))):
-                yield load(mp4, args.prompt)
+        # multi-host: stride the scan so each process serves disjoint clips
+        # (≙ reference (step-1)*world_size+rank, fastvideo/sample/sample.py:667)
+        p_idx, p_cnt = jax.process_index(), jax.process_count()
+        files = [mp4
+                 for sub in sorted(glob.glob(os.path.join(args.video_root_dir, "*/")))
+                 for mp4 in sorted(glob.glob(os.path.join(sub, "*.mp4")))]
+        for mp4 in files[p_idx::p_cnt]:
+            yield load(mp4, args.prompt)
 
 
 def _run_video(args, cfg, pipe, encode, sampler, size, steps, slot=None):

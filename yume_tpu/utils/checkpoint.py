@@ -280,7 +280,8 @@ def convert_vae21_state_dict(sd: Mapping[str, Any], num_res_blocks: int = 2,
 
 def convert_dit_state_dict(sd: Mapping[str, Any], num_layers: int,
                            init_params: Dict | None = None,
-                           verbose: bool = False) -> Dict:
+                           verbose: bool = False,
+                           report: Dict | None = None) -> Dict:
     """Map a reference WanModel state_dict (wan23/modules/model.py naming,
     sharded-safetensors layout loaded by `resume_checkpoint_yume`) onto
     yume_tpu.models.dit.WanDiT params.
@@ -375,6 +376,10 @@ def convert_dit_state_dict(sd: Mapping[str, Any], num_layers: int,
     leaf("head/modulation", "head.modulation")
     dense("head.head", "head/head")
 
+    if report is not None:
+        report["consumed"] = sorted(sd.consumed)
+        report["missing"] = list(sd.missing)
+        report["unexpected"] = sd.unexpected()
     if verbose:
         unexpected = sd.unexpected()
         print(f"[checkpoint] DiT load: {len(sd.consumed)} tensors consumed, "
