@@ -132,6 +132,9 @@ class PipelineConfig:
     sample_shift: float = 5.0
     sample_steps: int = 50
     sample_guide_scale: float = 5.0
+    # dual-expert MoE boundary: sigma ≥ boundary → high-noise expert
+    # (reference wan23/configs/wan_i2v_A14B.py:36; None = single-expert)
+    boundary: float | None = None
     frame_num: int = 121
     sample_neg_prompt: str = (
         "色调艳丽,过曝,静态,细节模糊不清,字幕,风格,作品,画作,画面,静止,整体发灰,最差质量,"
@@ -176,6 +179,30 @@ def ti2v_5b() -> PipelineConfig:
     )
 
 
+def i2v_a14b() -> PipelineConfig:
+    """Stock Wan2.2 I2V A14B dual-expert MoE (reference
+    wan23/configs/wan_i2v_A14B.py): two 14B experts (low/high noise) over
+    the Wan2.1 VAE, first-frame msk/y conditioning, boundary 0.900,
+    per-expert guide scale (3.5, 3.5). No CLIP branch — conditioning is
+    the 4-ch msk + 16-ch VAE(y) concat (in_dim 36 = 16+4+16)."""
+    return PipelineConfig(
+        name="i2v-A14B",
+        dit=DiTConfig(
+            model_type="i2v", in_dim=36, out_dim=16, dim=5120, ffn_dim=13824,
+            freq_dim=256, num_heads=40, num_layers=40, framepack=False,
+        ),
+        vae=VAEConfig(z_dim=16, base_dim=96, stride=(4, 8, 8), patchify=1,
+                      dim_mult=(1, 2, 4, 4), temporal_downsample=(True, True, False),
+                      arch="wan21"),
+        latent_frame_zero=1,   # single-shot i2v: no autoregressive tail
+        sample_shift=5.0,
+        sample_steps=40,
+        frame_num=81,
+        sample_fps=16,
+        boundary=0.900,
+    ).check_i2v_channels()
+
+
 def i2v_14b() -> PipelineConfig:
     """Yume-1.0 / 14B / 540P (reference wan/image2video.py:140-153).
 
@@ -203,4 +230,5 @@ def i2v_14b() -> PipelineConfig:
 CONFIGS = {
     "ti2v-5B": ti2v_5b,
     "i2v-14B": i2v_14b,
+    "i2v-A14B": i2v_a14b,
 }

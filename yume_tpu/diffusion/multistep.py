@@ -67,26 +67,47 @@ def sample_dpmpp_2m(
     denoise_fn: Callable[[jax.Array, jax.Array], jax.Array],
     noise: jax.Array,
     sigmas: np.ndarray,
+    *,
+    denoise_fn_low: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
+    boundary: float | None = None,
 ) -> jax.Array:
     """Full DPM-Solver++(2M) trajectory over a descending sigma ladder
-    (last entry 0). ``denoise_fn(x, sigma[B]) -> velocity``."""
+    (last entry 0). ``denoise_fn(x, sigma[B]) -> velocity``.
+
+    Dual-expert mode (stock Wan2.2 I2V MoE, reference
+    wan23/image2video.py:172-204, 388-391): with ``denoise_fn_low`` +
+    ``boundary`` set, steps whose sigma·1000 ≥ boundary·1000 use
+    ``denoise_fn`` (the high-noise expert) and the rest ``denoise_fn_low``
+    — the sigma ladder is static so the split is trace-time, and the 2M
+    history carry crosses the boundary exactly like the reference's
+    scheduler state survives its model swap."""
     b = noise.shape[0]
-    sig = jnp.asarray(sigmas, jnp.float32)
+    sig_np = np.asarray(sigmas, np.float32)
+    sig = jnp.asarray(sig_np)
     trips = jnp.stack([sig[:-1], sig[1:],
                        jnp.concatenate([sig[:1], sig[:-2]])], axis=1)
 
-    def step(carry: MultistepCarry, tr):
-        s_i, s_n, s_p = tr[0], tr[1], tr[2]
-        v = denoise_fn(carry.x, jnp.full((b,), s_i))
-        x0 = _data_pred(carry.x, v, s_i)
-        x_next = dpm_solver_step(
-            carry.x, x0, carry.prev_x0, carry.have_prev, s_i, s_n, s_p
-        )
-        return MultistepCarry(x_next, x0, jnp.array(True)), None
+    def mk_step(fn):
+        def step(carry: MultistepCarry, tr):
+            s_i, s_n, s_p = tr[0], tr[1], tr[2]
+            v = fn(carry.x, jnp.full((b,), s_i))
+            x0 = _data_pred(carry.x, v, s_i)
+            x_next = dpm_solver_step(
+                carry.x, x0, carry.prev_x0, carry.have_prev, s_i, s_n, s_p
+            )
+            return MultistepCarry(x_next, x0, jnp.array(True)), None
+        return step
 
-    init = MultistepCarry(noise, jnp.zeros_like(noise), jnp.array(False))
-    out, _ = jax.lax.scan(step, init, trips)
-    return out.x
+    carry = MultistepCarry(noise, jnp.zeros_like(noise), jnp.array(False))
+    if denoise_fn_low is None:
+        carry, _ = jax.lax.scan(mk_step(denoise_fn), carry, trips)
+        return carry.x
+    split = int(np.sum(sig_np[:-1] >= boundary))
+    if split:
+        carry, _ = jax.lax.scan(mk_step(denoise_fn), carry, trips[:split])
+    if split < len(sig_np) - 1:
+        carry, _ = jax.lax.scan(mk_step(denoise_fn_low), carry, trips[split:])
+    return carry.x
 
 
 def _np_lam(s: float) -> float:
@@ -125,6 +146,8 @@ def sample_unipc(
     solver_type: str = "bh2",
     lower_order_final: bool = True,
     use_corrector: bool = True,
+    denoise_fn_low: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
+    boundary: float | None = None,
 ) -> jax.Array:
     """UniPC multistep sampling at any order with the UniC corrector —
     faithful to the reference FlowUniPCMultistepScheduler
@@ -150,7 +173,13 @@ def sample_unipc(
 
     for i in range(n_steps):
         s0 = sig[i]
-        v = denoise_fn(x, jnp.full((b,), s0, noise.dtype))
+        # dual-expert boundary switch (trace-time: the ladder is static;
+        # ≙ reference _prepare_model_for_timestep, wan23/image2video.py:
+        # 172-204 — t.item() >= boundary·1000 picks the high-noise expert)
+        fn = denoise_fn
+        if denoise_fn_low is not None and s0 < boundary:
+            fn = denoise_fn_low
+        v = fn(x, jnp.full((b,), s0, noise.dtype))
         m = x - s0 * v  # flow velocity → data prediction (:306-312)
 
         if use_corrector and i > 0 and last_sample is not None:

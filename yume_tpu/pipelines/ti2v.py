@@ -403,6 +403,134 @@ class TI2VPipeline:
                                        steps, shift, boundary)
         return self.decode_auto(latent)
 
+    def first_frame_mask(self, frame_num: int, lat_h: int, lat_w: int):
+        """First-frame conditioning mask in latent space, channels-last
+        [1, F_lat, lat_h, lat_w, stride_t] — the exact construction of
+        reference wan23/image2video.py:288-294 (ones on pixel frame 0,
+        repeated stride_t×, folded into the temporal-stride channel)."""
+        s0 = self.config.vae.stride[0]
+        m = jnp.ones((1, frame_num, lat_h, lat_w), jnp.float32)
+        m = m.at[:, 1:].set(0.0)
+        m = jnp.concatenate([jnp.repeat(m[:, :1], s0, axis=1), m[:, 1:]],
+                            axis=1)
+        t = m.shape[1] // s0
+        m = m.reshape(1, t, s0, lat_h, lat_w)       # [1, F_lat, s0, H, W]
+        return m.transpose(0, 1, 3, 4, 2)           # channels-last
+
+    @functools.partial(jax.jit, static_argnums=(0, 7, 8, 9, 10, 11))
+    def _sample_i2v_dual(self, params_high, params_low, noise, y, ctx,
+                         ctx_null, steps, shift, boundary, guide_scale,
+                         solver):
+        """Dual-expert i2v denoising: CFG-batched velocity per expert,
+        boundary-switched UniPC/DPM++ (the actual WanI2V.generate loop,
+        reference wan23/image2video.py:344-411: per-step expert pick at
+        t ≥ boundary·1000, per-expert guide scale, multistep solver)."""
+        from ..diffusion.multistep import sample_dpmpp_2m, sample_unipc
+        from ..diffusion.schedule import sampling_sigmas
+
+        sig = sampling_sigmas(steps, shift)
+        b, f_lat = noise.shape[:2]
+        ctx2 = jnp.concatenate([ctx, ctx_null], axis=0)
+
+        if type(params_high).__name__ == "EPParams":
+            from ..parallel.expert import ep_dit_apply
+
+            def apply_fn(e):
+                def f(x2, t2, c2):
+                    return ep_dit_apply(
+                        self.dit, params_high.others, params_high.blocks,
+                        params_high.mesh, e, x2, t2, c2, packed=False,
+                        attn_impl=self.attn_impl)
+                return f
+
+            apply_high, apply_low = apply_fn(0), apply_fn(1)
+        else:
+            def mk_apply(params):
+                def f(x2, t2, c2):
+                    return self.dit.apply(params, x2, t2, c2, packed=False,
+                                          attn_impl=self.attn_impl)
+                return f
+
+            apply_high, apply_low = mk_apply(params_high), mk_apply(params_low)
+
+        def mk_denoise(apply, gs):
+            def denoise(latent, sig_b):
+                xin = jnp.concatenate([latent, y.astype(latent.dtype)], axis=-1)
+                x2 = jnp.concatenate([xin, xin], axis=0).astype(jnp.bfloat16)
+                t2 = jnp.broadcast_to((sig_b[0] * 1000.0)[None, None],
+                                      (2 * b, f_lat))
+                v2 = apply(x2, t2, ctx2).astype(latent.dtype)
+                v_c, v_n = v2[:b], v2[b:]
+                # noise_pred = uncond + gs·(cond − uncond) (reference :401)
+                return v_n + gs * (v_c - v_n)
+            return denoise
+
+        # per-expert guide scale: guide_scale[1] above the boundary
+        # (reference :388-391)
+        fn_high = mk_denoise(apply_high, guide_scale[1])
+        fn_low = mk_denoise(apply_low, guide_scale[0])
+        sampler = {"unipc": sample_unipc, "dpm++": sample_dpmpp_2m}
+        if solver not in sampler:
+            raise NotImplementedError(
+                f"unsupported solver {solver!r} (reference WanI2V supports "
+                "unipc/dpm++, wan23/image2video.py:344-363)")
+        return sampler[solver](fn_high, noise, sig,
+                               denoise_fn_low=fn_low, boundary=boundary)
+
+    def generate_i2v_dual(
+        self,
+        img: jax.Array,
+        ctx: jax.Array,
+        ctx_null: jax.Array,
+        params_high,
+        params_low,
+        *,
+        frame_num: int = 81,
+        steps: Optional[int] = None,
+        shift: Optional[float] = None,
+        boundary: Optional[float] = None,
+        guide_scale: Tuple[float, float] = (3.5, 3.5),
+        seed: int = 0,
+        solver: str = "unipc",
+    ):
+        """The stock ``WanI2V.generate`` (reference wan23/image2video.py:
+        206-431): first-frame image conditioning (msk ++ VAE(y) channel
+        concat), dual low/high-noise experts switched per step at
+        σ ≥ boundary with per-expert CFG scales, UniPC or DPM++ solver,
+        full-clip decode.
+
+        img: [1, H, W, 3] pixels in [-1, 1], already at the target size
+        (the reference's max_area fitting ≙ utils.masks.best_output_size).
+        params_high/params_low: the two expert trees, or params_high an
+        ``EPParams`` (each mesh group stores one expert; params_low=None).
+        """
+        cfgv = self.config.vae
+        s0, sh, sw = cfgv.stride
+        steps = self.config.sample_steps if steps is None else steps
+        shift = self.config.sample_shift if shift is None else shift
+        if boundary is None:
+            boundary = self.config.boundary
+        assert boundary is not None, "dual-expert sampling needs a boundary"
+        b, h, w, _ = img.shape
+        lat_h, lat_w = h // sh, w // sw
+        f_lat = (frame_num - 1) // s0 + 1
+
+        # y = msk ++ VAE(first frame, zero-padded clip)  (reference :315-323)
+        video = jnp.concatenate(
+            [img[:, None], jnp.zeros((b, frame_num - 1, h, w, 3), img.dtype)],
+            axis=1)
+        y_vae = self.encode_auto(video)
+        msk = self.first_frame_mask(frame_num, lat_h, lat_w)
+        y = jnp.concatenate([msk.astype(y_vae.dtype), y_vae], axis=-1)
+
+        noise = jax.random.normal(
+            jax.random.PRNGKey(seed), (b, f_lat, lat_h, lat_w, cfgv.z_dim),
+            jnp.float32)
+        latent = self._sample_i2v_dual(
+            params_high, params_low, noise, y, ctx, ctx_null, steps, shift,
+            float(boundary), tuple(guide_scale), solver)
+        return self.decode_auto(latent)
+
     def encode_auto(self, video):
         """Memory-aware encode: streaming 1+4k-frame chunks (the reference's
         production encode, vae2_2.py:797-829) once full-clip encoder
