@@ -10,10 +10,16 @@ amortizes (see docs/PERF.md):
               REquantized inside the step (what nn.Dense(dot_general=..)
               runs today)
   w8a8_preq   activations quantized in-step, weights already int8 with a
-              per-channel fp32 scale (what a pre-quantized param tree
-              would run)
+              per-channel fp32 scale (ops/quant_matmul.q8_dot — the
+              stored-Q8 serving trunk; includes the fused Pallas kernel
+              on its K>=8192 route)
   int8_only   pure s8xs8->s32 dot on pre-quantized tensors (the MXU
               ceiling for this shape; no quant passes at all)
+
+Shapes: the post-fusion 5B step geometries — fused qkv [3072,9216]
+(models/dit.py::fused_sibling_dense), o [3072,3072], ffn up
+[3072,14336] and down [14336,3072] (the down projection is the
+fused-Pallas route).
 
 Prints one JSON line per (shape, scheme): ms per application + TFLOP/s.
 
@@ -64,9 +70,13 @@ def main():
         def chained(*ts):
             def body(c, _):
                 o = fn(c, *ts[1:])
-                # fold the output back into a same-shaped carry so the chain
-                # cannot be CSE'd; keep it cheap (one elementwise op)
-                return c + o[:, : ts[0].shape[1]].astype(c.dtype) * 0, ()
+                # fold the FULL output back into the carry via a row-sum:
+                # slicing columns here lets XLA dead-code-eliminate the
+                # unused output columns of the dot (it did: the wide-N
+                # shapes measured only K columns of work); a sum depends on
+                # every column, and ×0 cannot fold away under IEEE floats
+                red = jnp.sum(o.astype(jnp.float32), axis=-1, keepdims=True)
+                return c + (red * 0.0).astype(c.dtype), ()
 
             out, _ = jax.lax.scan(body, ts[0], None, length=args.iters)
             return out
@@ -82,7 +92,9 @@ def main():
             best = dt if best is None else min(best, dt)
         return best
 
-    for k, n in ((3072, 3072), (3072, 14336)):
+    from yume_tpu.ops.quant_matmul import Q8, q8_dot
+
+    for k, n in ((3072, 9216), (3072, 3072), (3072, 14336), (14336, 3072)):
         a = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.bfloat16)
         w = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.bfloat16)
         qw, ws = quant_cols(w)
@@ -96,21 +108,19 @@ def main():
             return int8_dot_general(x, w, dn)
 
         def w8a8_preq(x, qw, ws):
-            q, s = quant_rows(x)
-            acc = jax.lax.dot_general(q, qw, dn,
-                                      preferred_element_type=jnp.int32)
-            return (acc.astype(jnp.float32) * s * ws).astype(x.dtype)
+            return q8_dot(x, Q8(q=qw, scale=ws))
 
-        def int8_only(x, qw):
-            del x
-            return jax.lax.dot_general(qa, qw, dn,
+        def int8_only(qa_carry, qw):
+            # the carry IS the int8 activation: the dot must depend on it
+            # or XLA hoists the whole matmul out of the scan (it did)
+            return jax.lax.dot_general(qa_carry, qw, dn,
                                        preferred_element_type=jnp.int32)
 
         for name, fn, tensors in (
             ("bf16", bf16, (a, w)),
             ("w8a8_live", w8a8_live, (a, w)),
             ("w8a8_preq", w8a8_preq, (a, qw, ws)),
-            ("int8_only", int8_only, (a, qw)),
+            ("int8_only", int8_only, (qa, qw)),
         ):
             try:
                 dt = timeit(fn, *tensors)

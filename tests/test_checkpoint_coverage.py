@@ -19,7 +19,6 @@ and assert `convert_dit_state_dict` consumes EVERY key in strict mode
 """
 
 import numpy as np
-import pytest
 
 from conftest import requires_reference
 

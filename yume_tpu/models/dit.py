@@ -46,7 +46,7 @@ import jax.numpy as jnp
 from flax.linen import dtypes
 
 from ..configs import DiTConfig
-from ..ops import quant_matmul, rope as rope_lib
+from ..ops import fused_adaln, quant_matmul, rope as rope_lib
 from ..ops.attention import attention
 
 
@@ -80,7 +80,9 @@ def _layer_norm(x, eps=1e-6):
 
 
 class AffineLayerNorm(nn.Module):
-    """fp32 LayerNorm with affine params (norm3 when cross_attn_norm)."""
+    """fp32 LayerNorm with affine params (norm3 when cross_attn_norm).
+    Runs as one fused HBM pass on TPU (ops/fused_adaln.py::adaln_norm with
+    gate=0, K=1: LN(x)·w + b exactly)."""
 
     dim: int
     eps: float = 1e-6
@@ -89,6 +91,10 @@ class AffineLayerNorm(nn.Module):
     def __call__(self, x):
         w = self.param("weight", nn.initializers.ones, (self.dim,), jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        if x.ndim == 3:
+            return fused_adaln.adaln_norm(
+                x, w[None, None, :], b[None, None, :], None,
+                eps=self.eps, gate=0.0)
         return (_layer_norm(x, self.eps) * w + b).astype(x.dtype)
 
 
@@ -186,6 +192,78 @@ class QDense(nn.Module):
         return jax.lax.dot_general(x, kernel, dn) + bias
 
 
+class ProjParams(nn.Module):
+    """Parameter shell for a QDense-compatible projection: same param
+    names, shapes, and inits at the same module path, but the matmul is
+    executed fused with sibling projections — see :func:`fused_sibling_dense`.
+    Checkpoint/converter/TP/LoRA treatments of ``{name}/kernel`` apply
+    unchanged."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
+def fused_sibling_dense(x, projs, w8a8=False, dtype=None):
+    """One wide ``[K, ΣN_i]`` matmul for sibling projections of one input.
+
+    Per output column the math is identical to separate QDense calls — the
+    contraction never mixes columns, and the per-output-channel w8a8 scales
+    concatenate — but a single wide dot keeps the MXU at its wide-N
+    efficiency: at the 5B headline geometry the three separate q/k/v
+    [12095,3072]×[3072,3072] dots run at 86–108 TFLOP/s while the fused
+    [3072,9216] dot runs at 138–216 TFLOP/s (scripts/bench_quant_matmul.py
+    --fused; ≈3 ms/layer bf16, ≈2.6 ms/layer W8A8). TP-safe: concat and
+    split are along the tp-sharded output axis at shard boundaries, so both
+    stay shard-local under GSPMD.
+
+    Returns the per-projection outputs (bias added), in ``projs`` order.
+    """
+    kernels = [k for k, _ in projs]
+    biases = [b for _, b in projs]
+    splits, acc = [], 0
+    for b_ in biases[:-1]:
+        acc += b_.shape[-1]
+        splits.append(acc)
+    if w8a8 and all(isinstance(k, quant_matmul.Q8) for k in kernels):
+        wq = jnp.concatenate([k.q for k in kernels], axis=-1)
+        ws = jnp.concatenate([k.scale for k in kernels], axis=-1)
+        y = quant_matmul.q8_dot(x, quant_matmul.Q8(q=wq, scale=ws),
+                                dtype or x.dtype)
+        y = y + jnp.concatenate(biases).astype(y.dtype)
+        return jnp.split(y, splits, axis=-1)
+    dense = [quant_matmul.q8_dequant(k, dtype or x.dtype)
+             if isinstance(k, quant_matmul.Q8) else k for k in kernels]
+    kcat = jnp.concatenate(dense, axis=-1)
+    bcat = jnp.concatenate(biases)
+    x, kcat, bcat = dtypes.promote_dtype(x, kcat, bcat, dtype=dtype)
+    dn = (((x.ndim - 1,), (0,)), ((), ()))
+    if w8a8:
+        y = quant_matmul.int8_dot_general(x, kcat, dn) + bcat
+    else:
+        y = jax.lax.dot_general(x, kcat, dn) + bcat
+    return jnp.split(y, splits, axis=-1)
+
+
+class NormWeight(nn.Module):
+    """Parameter shell for an RMSNorm whose math runs inside a fused kernel
+    (ops/fused_adaln.py::qk_norm_rope): same ``weight`` param name/shape/init
+    at the same module path as :class:`RMSNorm`."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("weight", nn.initializers.ones, (self.dim,),
+                          jnp.float32)
+
+
 class SelfAttention(nn.Module):
     cfg: DiTConfig
 
@@ -194,17 +272,23 @@ class SelfAttention(nn.Module):
         c = self.cfg
         b, l, _ = x.shape
         n, d = c.num_heads, c.head_dim
-        q = QDense(c.dim, name="q", dtype=x.dtype, w8a8=c.w8a8)(x)
-        k = QDense(c.dim, name="k", dtype=x.dtype, w8a8=c.w8a8)(x)
-        v = QDense(c.dim, name="v", dtype=x.dtype, w8a8=c.w8a8)(x)
+        projs = [ProjParams(c.dim, name=nm)(x.shape[-1])
+                 for nm in ("q", "k", "v")]
+        q, k, v = fused_sibling_dense(x, projs, w8a8=c.w8a8, dtype=x.dtype)
         if c.qk_norm:
-            q = RMSNorm(c.dim, c.eps, name="norm_q")(q)
-            k = RMSNorm(c.dim, c.eps, name="norm_k")(k)
-        q = q.reshape(b, l, n, d)
-        k = k.reshape(b, l, n, d)
+            # RMSNorm(q)·w, RMSNorm(k)·w + RoPE of both in one fused HBM
+            # pass (ops/fused_adaln.py; jnp fallback = the exact module
+            # composition RMSNorm → apply_rope)
+            w_q = NormWeight(c.dim, name="norm_q")()
+            w_k = NormWeight(c.dim, name="norm_k")()
+            q, k = fused_adaln.qk_norm_rope(q, k, w_q, w_k,
+                                            rope_cos, rope_sin, n, eps=c.eps)
+            q = q.reshape(b, l, n, d)
+            k = k.reshape(b, l, n, d)
+        else:
+            q = rope_lib.apply_rope(q.reshape(b, l, n, d), rope_cos, rope_sin)
+            k = rope_lib.apply_rope(k.reshape(b, l, n, d), rope_cos, rope_sin)
         v = v.reshape(b, l, n, d)
-        q = rope_lib.apply_rope(q, rope_cos, rope_sin)
-        k = rope_lib.apply_rope(k, rope_cos, rope_sin)
         o = attention(q, k, v, impl=attn_impl)
         return QDense(c.dim, name="o", dtype=x.dtype,
                       w8a8=c.w8a8)(o.reshape(b, l, c.dim))
@@ -226,7 +310,10 @@ class CrossAttention(nn.Module):
         k = QDense(c.dim, name="k", dtype=x.dtype)(context)
         v = QDense(c.dim, name="v", dtype=x.dtype)(context)
         if c.qk_norm:
-            q = RMSNorm(c.dim, c.eps, name="norm_q")(q)
+            # q is token-length-sized: one fused HBM pass (same math as the
+            # RMSNorm module); k is 512 context rows — module path is fine
+            q = fused_adaln.rms_norm(q, NormWeight(c.dim, name="norm_q")(),
+                                     eps=c.eps)
             k = RMSNorm(c.dim, c.eps, name="norm_k")(k)
         q = q.reshape(b, l, n, d)
         k = k.reshape(b, -1, n, d)
@@ -251,7 +338,8 @@ class I2VCrossAttention(nn.Module):
         ctx_txt = context[:, c.image_context_len:]
         q = QDense(c.dim, name="q", dtype=x.dtype, w8a8=c.w8a8)(x)
         if c.qk_norm:
-            q = RMSNorm(c.dim, c.eps, name="norm_q")(q)
+            q = fused_adaln.rms_norm(q, NormWeight(c.dim, name="norm_q")(),
+                                     eps=c.eps)
         q = q.reshape(b, l, n, d)
 
         k = QDense(c.dim, name="k", dtype=x.dtype)(ctx_txt)
@@ -286,14 +374,16 @@ class DiTBlock(nn.Module):
             (1, 6, c.dim),
         )
 
-        def e(j):
-            # fp32 (modulation_j + e0_j), shaped [B, L or 1, dim]
-            return m[:, j][:, None, :] + mod.gather6(j, l)
+        def etab(j):
+            # fp32 (modulation_j + e0_j) as a compact [B, K, dim] table; the
+            # per-token row select happens INSIDE the fused kernels
+            # (ops/fused_adaln.py) — the [B, L, dim] gather never hits HBM
+            return m[:, j][:, None, :] + mod.e0[:, :, j, :]
 
-        # self-attention
-        h = _layer_norm(x, c.eps) * (1.0 + e(1)) + e(0)
-        y = SelfAttention(c, name="self_attn")(h.astype(x.dtype), rope_cos, rope_sin, attn_impl)
-        x = (x.astype(jnp.float32) + y.astype(jnp.float32) * e(2)).astype(x.dtype)
+        # self-attention: LN + AdaLN modulate fused to one HBM pass
+        h = fused_adaln.adaln_norm(x, etab(1), etab(0), mod.idx, eps=c.eps)
+        y = SelfAttention(c, name="self_attn")(h, rope_cos, rope_sin, attn_impl)
+        x = fused_adaln.adaln_residual(x, y, etab(2), mod.idx)
 
         # cross-attention (norm3 affine iff cross_attn_norm). A callable
         # attn_impl is a sequence-parallel self-attention (Ulysses/ring);
@@ -307,12 +397,11 @@ class DiTBlock(nn.Module):
         x = x + cross_cls(c, name="cross_attn")(h, context, cross_impl)
 
         # FFN
-        h = _layer_norm(x, c.eps) * (1.0 + e(4)) + e(3)
-        h = QDense(c.ffn_dim, name="ffn_0", dtype=x.dtype,
-                   w8a8=c.w8a8)(h.astype(x.dtype))
+        h = fused_adaln.adaln_norm(x, etab(4), etab(3), mod.idx, eps=c.eps)
+        h = QDense(c.ffn_dim, name="ffn_0", dtype=x.dtype, w8a8=c.w8a8)(h)
         h = nn.gelu(h, approximate=True)
         y = QDense(c.dim, name="ffn_2", dtype=x.dtype, w8a8=c.w8a8)(h)
-        x = (x.astype(jnp.float32) + y.astype(jnp.float32) * e(5)).astype(x.dtype)
+        x = fused_adaln.adaln_residual(x, y, etab(5), mod.idx)
         return x
 
 
@@ -331,10 +420,10 @@ class Head(nn.Module):
             lambda k, s: jax.random.normal(k, s, jnp.float32) / c.dim**0.5,
             (1, 2, c.dim),
         )
-        e = mod.gather_e()  # [B, L or 1, dim] fp32
-        e0 = m[:, 0][:, None, :] + e
-        e1 = m[:, 1][:, None, :] + e
-        h = _layer_norm(x, c.eps) * (1.0 + e1) + e0
+        e0_tab = m[:, 0][:, None, :] + mod.e   # [B, K, dim]
+        e1_tab = m[:, 1][:, None, :] + mod.e
+        h = fused_adaln.adaln_norm(x, e1_tab, e0_tab, mod.idx, eps=c.eps,
+                                   out_dtype=jnp.float32)
         return nn.Dense(out, name="head", dtype=jnp.float32,
                         kernel_init=nn.initializers.zeros)(h)
 

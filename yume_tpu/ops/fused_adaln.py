@@ -1,0 +1,296 @@
+"""Fused elementwise "glue" kernels for the DiT block (Pallas, TPU).
+
+The 5B block spends ~10 ms/layer (≈22% of the 1.34 s headline step) in
+elementwise passes XLA cannot fuse across: fp32 LayerNorm + AdaLN modulate
+(with a [B,L,D] gather of per-frame modulation rows), fp32 residual adds,
+qk RMSNorm, and RoPE's interleaved-pair rotation (whose stack/reshape
+lowers to expensive minor-axis relayouts). Measured chained on v5e at
+[1,12095,3072]: mod_norm 1.5 ms, residual 1.4 ms, rms_norm 1.5 ms, rope
+1.9 ms per pass — 5–10× off the HBM roofline (a bf16 read+write of 74 MB
+is ~0.2 ms).
+
+Each kernel here is one HBM pass, fp32 math in VMEM, bf16 in/out:
+
+* :func:`adaln_norm`    — LN(x)·(1+scale_row) + shift_row, with the
+  per-token modulation row selected in-kernel via a one-hot [bm,K]×[K,D]
+  matmul (K = #distinct timesteps ≤ ~40; exact select, MXU-trivial). The
+  reference materialises e0 at [B,L,6,D] (wan23/modules/model.py:801-812);
+  the compact-table + in-kernel-gather form never touches HBM with it.
+* :func:`adaln_residual` — x + y·scale_row (same row select).
+* :func:`qk_norm_rope`  — RMSNorm(q)·w_q, RMSNorm(k)·w_k and the RoPE
+  rotation of both, in ONE pass over q and k (4 passes → 1). The
+  adjacent-pair rotation (x[2i],x[2i+1]) is computed without interleave
+  relayouts: out = x·c2 + swap(x)·s2 with lane-duplicated tables
+  (c2[2i]=c2[2i+1]=cos[i], s2[2i]=−sin[i], s2[2i+1]=+sin[i]) and
+  swap = select(lane parity, roll(x,∓1)) — pure lane ops.
+
+Every kernel has a jnp fallback with IDENTICAL fp32 math (same reduction
+formulas, same rounding points) used on CPU and as the parity oracle in
+tests_tpu/test_fused_adaln.py; the DiT golden tests therefore cover the
+fallback path bit-for-bit and the TPU tests pin kernel≡fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+_BM = 256
+
+
+def _use_pallas(x, idx) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    if x.ndim != 3 or x.shape[-1] % 128 != 0:
+        return False
+    if idx is not None and idx.ndim != 2:
+        return False
+    return True
+
+
+def _rows(idx2, tab):
+    """[1, bm] int32 row ids + [K, D] table → [bm, D] rows via an exact
+    one-hot dot (all intermediates 2-D — Mosaic has no 1-D vector layout)."""
+    k = tab.shape[0]
+    bm = idx2.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (k, bm), 0)
+    onehot_t = (iota == idx2).astype(jnp.float32)           # [K, bm]
+    return jax.lax.dot_general(onehot_t, tab, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# adaln_norm: LN(x) * (1 + scale_row) + shift_row
+# ---------------------------------------------------------------------------
+
+
+def _adaln_norm_kernel(x_ref, idx_ref, s_ref, b_ref, o_ref, *, eps, gate):
+    xf = x_ref[0].astype(jnp.float32)                      # [bm, D]
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    n = (xf - mu) * jax.lax.rsqrt(var + eps)
+    s = _rows(idx_ref[...], s_ref[0])
+    b = _rows(idx_ref[...], b_ref[0])
+    o_ref[0] = (n * (gate + s) + b).astype(o_ref.dtype)
+
+
+def adaln_norm(x, scale_tab, shift_tab, idx, *, eps=1e-6, gate=1.0,
+               out_dtype=None):
+    """``LayerNorm(x) * (gate + scale_tab[idx]) + shift_tab[idx]`` → x.dtype.
+
+    x: [B, L, D] (any float dtype); scale_tab/shift_tab: [B, K, D] fp32;
+    idx: [B, L] int32 or None (None ⇒ row 0 everywhere, K may be 1).
+    gate=1.0 is the AdaLN "(1 + scale)" form; gate=0.0 with a plain weight
+    table gives an affine LayerNorm (LN·w + b) with exact w. ``out_dtype``
+    overrides the output dtype (the Head keeps fp32 into its projection).
+    """
+    b, l, d_ = x.shape
+    out_dtype = x.dtype if out_dtype is None else out_dtype
+    scale_tab = scale_tab.astype(jnp.float32)
+    shift_tab = shift_tab.astype(jnp.float32)
+    if not _use_pallas(x, idx):
+        if idx is None:
+            s = scale_tab[:, :1]
+            t = shift_tab[:, :1]
+        else:
+            s = jnp.take_along_axis(scale_tab, idx[:, :, None], axis=1)
+            t = jnp.take_along_axis(shift_tab, idx[:, :, None], axis=1)
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        n = (xf - mu) * jax.lax.rsqrt(var + eps)
+        return (n * (gate + s) + t).astype(out_dtype)
+    if idx is None:
+        idx = jnp.zeros((b, l), jnp.int32)
+    k = scale_tab.shape[1]
+    scale_tab = jnp.broadcast_to(scale_tab, (b, k, d_))
+    shift_tab = jnp.broadcast_to(shift_tab, (b, k, d_))
+    grid = (b, pl.cdiv(l, _BM))
+    return pl.pallas_call(
+        functools.partial(_adaln_norm_kernel, eps=eps, gate=gate),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _BM, d_), lambda bi, i: (bi, i, 0)),
+            pl.BlockSpec((1, _BM), lambda bi, i: (bi, i)),
+            pl.BlockSpec((1, k, d_), lambda bi, i: (bi, 0, 0)),
+            pl.BlockSpec((1, k, d_), lambda bi, i: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, _BM, d_), lambda bi, i: (bi, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, l, d_), out_dtype),
+    )(x, idx.astype(jnp.int32), scale_tab, shift_tab)
+
+
+# ---------------------------------------------------------------------------
+# rms_norm: RMSNorm(x) · w over the last axis (cross-attention norm_q)
+# ---------------------------------------------------------------------------
+
+
+def _rms_kernel(x_ref, w_ref, o_ref, *, eps):
+    xf = x_ref[0].astype(jnp.float32)
+    ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    o_ref[0] = (xf * jax.lax.rsqrt(ms + eps) * w_ref[...]).astype(o_ref.dtype)
+
+
+def rms_norm(x, w, *, eps=1e-5):
+    """fp32 RMSNorm with learned scale, one HBM pass (reference WanRMSNorm,
+    models/dit.py::RMSNorm math, identical formulation)."""
+    if jax.default_backend() != "tpu" or x.ndim != 3 or x.shape[-1] % 128:
+        xf = x.astype(jnp.float32)
+        n = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+        return (n * w.astype(jnp.float32)).astype(x.dtype)
+    b, l, d_ = x.shape
+    grid = (b, pl.cdiv(l, _BM))
+    return pl.pallas_call(
+        functools.partial(_rms_kernel, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _BM, d_), lambda bi, i: (bi, i, 0)),
+            pl.BlockSpec((1, d_), lambda bi, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, _BM, d_), lambda bi, i: (bi, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, l, d_), x.dtype),
+    )(x, w.astype(jnp.float32).reshape(1, d_))
+
+
+# ---------------------------------------------------------------------------
+# adaln_residual: x + y * scale_row
+# ---------------------------------------------------------------------------
+
+
+def _adaln_residual_kernel(x_ref, y_ref, idx_ref, s_ref, o_ref):
+    xf = x_ref[0].astype(jnp.float32)
+    yf = y_ref[0].astype(jnp.float32)
+    s = _rows(idx_ref[...], s_ref[0])
+    o_ref[0] = (xf + yf * s).astype(o_ref.dtype)
+
+
+def adaln_residual(x, y, scale_tab, idx):
+    """``x + y * scale_tab[idx]`` in fp32 → x.dtype (the AdaLN gated
+    residual). Shapes as in :func:`adaln_norm`."""
+    b, l, d_ = x.shape
+    scale_tab = scale_tab.astype(jnp.float32)
+    if not _use_pallas(x, idx):
+        if idx is None:
+            s = scale_tab[:, :1]
+        else:
+            s = jnp.take_along_axis(scale_tab, idx[:, :, None], axis=1)
+        return (x.astype(jnp.float32)
+                + y.astype(jnp.float32) * s).astype(x.dtype)
+    if idx is None:
+        idx = jnp.zeros((b, l), jnp.int32)
+    k = scale_tab.shape[1]
+    scale_tab = jnp.broadcast_to(scale_tab, (b, k, d_))
+    grid = (b, pl.cdiv(l, _BM))
+    return pl.pallas_call(
+        _adaln_residual_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _BM, d_), lambda bi, i: (bi, i, 0)),
+            pl.BlockSpec((1, _BM, d_), lambda bi, i: (bi, i, 0)),
+            pl.BlockSpec((1, _BM), lambda bi, i: (bi, i)),
+            pl.BlockSpec((1, k, d_), lambda bi, i: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, _BM, d_), lambda bi, i: (bi, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, l, d_), x.dtype),
+    )(x, y, idx.astype(jnp.int32), scale_tab)
+
+
+# ---------------------------------------------------------------------------
+# qk_norm_rope: RMSNorm(q)·w_q, RMSNorm(k)·w_k + RoPE, one pass over both
+# ---------------------------------------------------------------------------
+
+
+def _expand_tables(cos, sin):
+    """[L, d/2] cos/sin → lane-duplicated [L, d] c2/s2 with the rotation
+    sign folded into s2 (even lanes −sin, odd lanes +sin)."""
+    c2 = jnp.repeat(cos, 2, axis=-1)
+    s = jnp.repeat(sin, 2, axis=-1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
+    s2 = jnp.where(lane % 2 == 0, -s, s)
+    return c2.astype(jnp.float32), s2.astype(jnp.float32)
+
+
+def _pair_swap(x):
+    """swap(x)[..., 2i] = x[..., 2i+1]; swap(x)[..., 2i+1] = x[..., 2i]."""
+    left = jnp.roll(x, -1, axis=-1)
+    right = jnp.roll(x, 1, axis=-1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.where(lane % 2 == 0, left, right)
+
+
+def _qk_norm_rope_kernel(q_ref, k_ref, wq_ref, wk_ref, c2_ref, s2_ref,
+                         oq_ref, ok_ref, *, eps, heads):
+    # tile the per-head [bm, d] tables across heads on the lane axis
+    # (pairs are 128-aligned inside each head, so flat-lane rolls in
+    # _pair_swap never mix heads; the wrapped lane is never selected)
+    c2 = jnp.concatenate([c2_ref[...]] * heads, axis=-1)    # [bm, D]
+    s2 = jnp.concatenate([s2_ref[...]] * heads, axis=-1)
+
+    def one(x_ref, w_ref, o_ref):
+        xf = x_ref[0].astype(jnp.float32)                   # [bm, D]
+        ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        n = xf * jax.lax.rsqrt(ms + eps) * w_ref[...]
+        # the unfused path casts to x.dtype between RMSNorm and RoPE
+        # (RMSNorm module returns x.dtype); round-trip here so the fused
+        # kernel is bit-identical to the fallback/golden composition
+        n = n.astype(o_ref.dtype).astype(jnp.float32)
+        o_ref[0] = (n * c2 + _pair_swap(n) * s2).astype(o_ref.dtype)
+
+    one(q_ref, wq_ref, oq_ref)
+    one(k_ref, wk_ref, ok_ref)
+
+
+def qk_norm_rope(q, k, w_q, w_k, cos, sin, num_heads, *, eps=1e-5):
+    """Fused qk RMSNorm (over the FULL model dim, reference WanRMSNorm
+    semantics) + RoPE rotation for q and k — one HBM pass over both
+    (replaces 2×RMSNorm + 2×apply_rope = 4 passes).
+
+    q/k: [B, L, D] flat (projection outputs, heads packed); w_q/w_k: [D]
+    fp32 learned scales; cos/sin: [L, d_head//2] fp32. Returns rotated
+    flat (q, k) in the input dtype; the caller reshapes to heads. Math is
+    identical to RMSNorm → apply_rope (ops/rope.py): fp32 throughout, one
+    x.dtype round-trip between norm and rotation (as the module path has).
+    """
+    b, l, dim = q.shape
+    d_ = dim // num_heads
+    if (jax.default_backend() != "tpu" or cos.ndim != 2
+            or d_ % 128 != 0 or b != 1):
+        from . import rope as rope_lib
+
+        def norm(x, w):
+            xf = x.astype(jnp.float32)
+            ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            return (xf * jax.lax.rsqrt(ms + eps)
+                    * w.astype(jnp.float32)).astype(x.dtype)
+        q4 = norm(q, w_q).reshape(b, l, num_heads, d_)
+        k4 = norm(k, w_k).reshape(b, l, num_heads, d_)
+        return (rope_lib.apply_rope(q4, cos, sin).reshape(b, l, dim),
+                rope_lib.apply_rope(k4, cos, sin).reshape(b, l, dim))
+    c2, s2 = _expand_tables(cos, sin)                       # [L, d]
+    bm = 128  # 2 inputs + 2 outputs + fp32 temps: 256 rows exceeds VMEM
+    grid = (b, pl.cdiv(l, bm))
+    oq, ok = pl.pallas_call(
+        functools.partial(_qk_norm_rope_kernel, eps=eps, heads=num_heads),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bm, dim), lambda bi, i: (bi, i, 0)),
+            pl.BlockSpec((1, bm, dim), lambda bi, i: (bi, i, 0)),
+            pl.BlockSpec((1, dim), lambda bi, i: (0, 0)),
+            pl.BlockSpec((1, dim), lambda bi, i: (0, 0)),
+            pl.BlockSpec((bm, d_), lambda bi, i: (i, 0)),
+            pl.BlockSpec((bm, d_), lambda bi, i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bm, dim), lambda bi, i: (bi, i, 0)),
+            pl.BlockSpec((1, bm, dim), lambda bi, i: (bi, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, l, dim), q.dtype),
+            jax.ShapeDtypeStruct((b, l, dim), k.dtype),
+        ],
+    )(q, k, w_q.astype(jnp.float32).reshape(1, dim),
+      w_k.astype(jnp.float32).reshape(1, dim), c2, s2)
+    return oq, ok

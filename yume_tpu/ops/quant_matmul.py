@@ -19,9 +19,13 @@ bf16/fp16); this is a beyond-reference TPU capability, gated off by default.
 
 from __future__ import annotations
 
+import functools
+
 import flax.struct
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 @flax.struct.dataclass
@@ -40,6 +44,60 @@ class Q4:
     scale: jax.Array   # fp32 [..., in/group, 1, out]
 
 
+def _fused_kernel(x_ref, ascale_ref, qw_ref, wscale_ref, o_ref, acc_ref, *,
+                  nk):
+    """Pallas body: quantize the x block in VMEM against its precomputed
+    per-row scale and feed the MXU s8×s8→s32; rescale on the last k step."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    s = ascale_ref[...].astype(jnp.float32)  # [bm, 1]
+    xq = jnp.clip(jnp.round(x_ref[...].astype(jnp.float32) / s),
+                  -127, 127).astype(jnp.int8)
+    acc_ref[...] += jax.lax.dot_general(
+        xq, qw_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(k == nk - 1)
+    def _done():
+        out = acc_ref[...].astype(jnp.float32) * s * wscale_ref[...]
+        o_ref[...] = out.astype(o_ref.dtype)
+
+
+# measured sweet spot on v5e at [12095,14336]×[14336,3072]
+# (scripts/bench_quant_matmul.py --fused sweep): 6.01 ms vs 6.52 XLA preq
+_FUSED_BM, _FUSED_BN, _FUSED_BK = 512, 1024, 1024
+# below this contraction depth the kernel re-quantizing x per n-block loses
+# to XLA's (quantize once) + dot — only the ffn down-projection qualifies
+_FUSED_MIN_K = 8192
+
+
+def _fused_q8_matmul_2d(x2, a_scale, qw, w_scale, out_dtype):
+    m, k = x2.shape
+    _, n = qw.shape
+    nk = k // _FUSED_BK
+    grid = (pl.cdiv(m, _FUSED_BM), pl.cdiv(n, _FUSED_BN), nk)
+    return pl.pallas_call(
+        functools.partial(_fused_kernel, nk=nk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_FUSED_BM, _FUSED_BK), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((_FUSED_BM, 1), lambda i, j, kk: (i, 0)),
+            pl.BlockSpec((_FUSED_BK, _FUSED_BN), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((1, _FUSED_BN), lambda i, j, kk: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((_FUSED_BM, _FUSED_BN),
+                               lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((_FUSED_BM, _FUSED_BN), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(x2, a_scale, qw, w_scale)
+
+
 def q8_dot(x, w: Q8, dtype=None):
     """``x @ dequant(w)`` with the STORED int8 weights going straight to the
     MXU (W8A8 direct path for the int8-storage trunk).
@@ -51,10 +109,27 @@ def q8_dot(x, w: Q8, dtype=None):
     weight-sized HBM round-trips per layer per step), quantize only the
     activations and rescale the s32 accumulator by a_scale · stored_scale.
     Strictly more accurate than the round-trip (no second rounding).
+
+    Deep contractions (K ≥ 8192, i.e. the ffn down-projection) route
+    through a fused Pallas kernel on TPU that quantizes the activation
+    block in VMEM and feeds the MXU directly — the int8 activation tensor
+    never round-trips HBM (−8% at the 5B fc2 geometry). Same math
+    (identical rounding, exact s32 accumulation), so the XLA composition
+    below stays the numerical oracle on every backend.
     """
     a = x.astype(jnp.float32)
     a_scale = jnp.maximum(jnp.max(jnp.abs(a), axis=-1, keepdims=True),
                           1e-8) / 127.0
+    k_dim, n_dim = w.q.shape[-2], w.q.shape[-1]
+    if (jax.default_backend() == "tpu" and w.q.ndim == 2
+            and k_dim >= _FUSED_MIN_K and k_dim % _FUSED_BK == 0
+            and n_dim % 128 == 0):
+        x2 = x.reshape(-1, k_dim)
+        out = _fused_q8_matmul_2d(
+            x2, a_scale.reshape(-1, 1).astype(jnp.float32), w.q,
+            w.scale.reshape(1, n_dim).astype(jnp.float32),
+            dtype if dtype is not None else x.dtype)
+        return out.reshape(*x.shape[:-1], n_dim)
     qa = jnp.clip(jnp.round(a / a_scale), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
         qa, w.q, (((x.ndim - 1,), (0,)), ((), ())),
@@ -87,8 +162,15 @@ def int8_dot_general(lhs, rhs, dimension_numbers, precision=None,
                           1e-8) / 127.0
     w_scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True),
                           1e-8) / 127.0
-    qa = jnp.clip(jnp.round(a / a_scale), -127, 127).astype(jnp.int8)
     qw = jnp.clip(jnp.round(w / w_scale), -127, 127).astype(jnp.int8)
+    k_dim, n_dim = qw.shape
+    if (jax.default_backend() == "tpu" and k_dim >= _FUSED_MIN_K
+            and k_dim % _FUSED_BK == 0 and n_dim % 128 == 0):
+        out = _fused_q8_matmul_2d(
+            lhs.reshape(-1, k_dim), a_scale.reshape(-1, 1), qw,
+            w_scale.reshape(1, n_dim), out_dtype)
+        return out.reshape(*lhs.shape[:-1], n_dim)
+    qa = jnp.clip(jnp.round(a / a_scale), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(qa, qw, dimension_numbers,
                               preferred_element_type=jnp.int32)
     return (acc.astype(jnp.float32) * a_scale * w_scale).astype(out_dtype)

@@ -16,6 +16,14 @@ o sharded on the head dimension and inserts exactly one all-reduce after
 each row-sharded matmul — the Megatron communication pattern — without any
 hand-written collectives. Composes with the ``fsdp`` axis (ZeRO-3 over the
 remaining axis of each kernel) and ``data``.
+
+Caveat: the fused elementwise glue kernels (ops/fused_adaln.py) have no
+GSPMD partitioning rule, so under TP XLA gathers their operands and runs
+them replicated per chip — numerically correct, but the qk-norm/RoPE and
+AdaLN passes don't shrink with tp. The matmuls and attention (the FLOPs)
+shard as designed; if TP glue cost ever matters, route those samplers
+through the shard_map SP trunk (parallel/sp_forward.py), where the same
+kernels run per-shard on local shapes.
 """
 
 from __future__ import annotations
