@@ -13,7 +13,11 @@ fastvideo/sample/sample.py:763-832).
 The HEADLINE is the repo's best-serving configuration — TeaCache
 interval-3 block-residual caching (1 full : 2 cached steps), the config
 the sample CLI/webapp actually serve with (``--teacache``), quality-gated
-on-chip by tests_tpu/test_quality_gate.py. The plain bf16 step and the
+on-chip by tests_tpu/test_quality_gate.py (8-layer proxy: 39.6 dB latent
+PSNR) and anchored at the real 5B depth by
+tests_tpu/test_quality_gate_fullscale.py (28.4 dB with random weights — a
+pessimistic bound; see BASELINE.md round 4c for why the trained-weight
+value lies between the two). The plain bf16 step and the
 W8A8(+TeaCache) variants are measured live and reported in ``detail``
 (sec_denoise_bf16 is the honest uncached number).
 

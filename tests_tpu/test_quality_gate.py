@@ -84,9 +84,11 @@ def _tail(pipe, base, **kw):
 
 
 # measured on v5e 2026-08-17/19 (random bf16 weights + randomized head,
-# 12-step segment): teacache@2 41.7 dB, teacache@3 39.6, teacache@4 38.5,
-# int8 70.9, int4 51.5, w8a8 69.5, w8a8+teacache@3 ≈ teacache@3 (TeaCache
-# error dominates the composition; quant noise sits ~30 dB below it).
+# 12-step segment; re-measured 2026-08-19 with the fused glue kernels —
+# identical to 0.1 dB): teacache@2 41.7 dB, teacache@3 39.6, teacache@4
+# 38.5, int8 70.9, int4 51.5, w8a8 69.4, w8a8+teacache@3 39.6 (TeaCache
+# error dominates the composition; quant noise sits ~30 dB below it),
+# int8+w8a8 69.2. Full-depth anchor: test_quality_gate_fullscale.py.
 # Values recorded in BASELINE.md's quality column; floors set ~4 dB below
 # measurement. "teacache@N" = full DiT every N-th step — @3 is the
 # best-serving default (sample.py --teacache_interval, bench.py headline),
