@@ -88,6 +88,42 @@ def test_rms_norm_matches_fallback(data):
     _tol(got, ref)
 
 
+def test_grads_flow_through_kernels(data):
+    """jax.grad through the Pallas forwards (custom_vjp recomputes via the
+    jnp fallback) — must match grad of the fallback composition. Covers
+    the TPU training/LoRA/distillation paths."""
+    x, y, st, bt, idx = (data["x"], data["y"], data["st"], data["bt"],
+                         data["idx"])
+
+    def loss_fused(x, st, bt, y):
+        h = fa.adaln_norm(x, st, bt, idx)
+        o = fa.adaln_residual(x, h, st, idx)
+        o = fa.rms_norm(o, data["w"], eps=1e-5)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_ref(x, st, bt, y):
+        s = jnp.take_along_axis(st, idx[:, :, None], axis=1)
+        t = jnp.take_along_axis(bt, idx[:, :, None], axis=1)
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        h = (((xf - mu) * jax.lax.rsqrt(var + 1e-6)) * (1.0 + s)
+             + t).astype(x.dtype)
+        o = (x.astype(jnp.float32) + h.astype(jnp.float32) * s).astype(x.dtype)
+        of = o.astype(jnp.float32)
+        n = of * jax.lax.rsqrt(jnp.mean(of * of, axis=-1, keepdims=True)
+                               + 1e-5)
+        return jnp.sum((n * data["w"]).astype(x.dtype).astype(jnp.float32) ** 2)
+
+    g_fused = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2)))(x, st, bt, y)
+    g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(x, st, bt, y)
+    for gf, gr in zip(g_fused, g_ref):
+        gf = np.asarray(gf, np.float32)
+        gr = np.asarray(gr, np.float32)
+        denom = np.abs(gr).mean() + 1e-6
+        assert np.abs(gf - gr).mean() / denom < 0.02
+
+
 def test_qk_norm_rope_matches_fallback(data):
     q, k = data["x"], data["y"]
     half = jnp.arange(DH // 2, dtype=jnp.float32) / (DH // 2)
