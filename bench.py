@@ -234,10 +234,11 @@ def bench_vae_decode():
                           (1, lfz, h_lat, w_lat, cfg.vae.z_dim), jnp.float32)
 
     def stream(tile):
-        return streaming_decode(vae, params, tile.astype(jnp.bfloat16))
+        return streaming_decode(vae, params, tile.astype(jnp.bfloat16),
+                                chunk_latent_frames=2)
 
     def decode(z):
-        return tiled_decode(stream, z, n_tiles=4,
+        return tiled_decode(stream, z, n_tiles=2,
                             scale_factor=cfg.vae.stride[1])
 
     out = decode(z)  # compile (first + steady-state chunk programs)

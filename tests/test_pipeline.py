@@ -144,3 +144,35 @@ def test_teacache_interval_plumbing():
     err2 = float(np.mean((np.asarray(tc2) - np.asarray(ref)) ** 2))
     err9 = float(np.mean((np.asarray(tc9) - np.asarray(ref)) ** 2))
     assert err9 >= 0.5 * err2
+
+
+def test_teacache_edge_plumbing():
+    """--teacache_edge reaches the cache-list construction. On the 2-layer
+    tiny model: edge=1 makes the cached list empty, so every step runs the
+    full DiT and the trajectory must match plain euler; the default
+    (edge=None -> n//4=0) caches BOTH blocks and must differ."""
+    pipe = _pipe()
+
+    def _randomize_head(path, leaf):
+        names = [getattr(p, "key", "") for p in path]
+        if "head" in names and names[-1] == "kernel":
+            return jax.random.normal(jax.random.PRNGKey(7), leaf.shape,
+                                     leaf.dtype) * 0.05
+        return leaf
+
+    pipe.dit_params = jax.tree_util.tree_map_with_path(
+        _randomize_head, pipe.dit_params)
+    ids = jnp.zeros((1, 16), jnp.int32)
+    ctx = pipe.encode_text(ids, jnp.ones_like(ids))
+    hist = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 4, 4, 8))
+    ref = pipe.generate_segment(hist, ctx, steps=4, sampler="euler")
+    tc_all_live = pipe.generate_segment(hist, ctx, steps=4,
+                                        sampler="teacache",
+                                        teacache_interval=2,
+                                        teacache_edge=1)
+    tc_default = pipe.generate_segment(hist, ctx, steps=4,
+                                       sampler="teacache",
+                                       teacache_interval=2)
+    np.testing.assert_allclose(np.asarray(tc_all_live), np.asarray(ref),
+                               atol=1e-4, rtol=1e-3)
+    assert not np.allclose(np.asarray(tc_default), np.asarray(ref))

@@ -126,6 +126,23 @@ def test_streaming_decode_matches_full_clip(rng_np):
                                atol=1e-4, rtol=1e-3)
 
 
+def test_streaming_decode_multiframe_chunks(rng_np):
+    """chunk_latent_frames > 1 (incl. a ragged tail chunk) is bit-compatible
+    with the full-clip decode — the conv caches are chunk-length agnostic."""
+    from yume_tpu.models.vae import streaming_decode
+
+    model = WanVAE(TINY, dec_dim=24)
+    video = jnp.zeros((1, 5, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), video)
+    z = jnp.asarray(rng_np.standard_normal((1, 6, 2, 2, 8)).astype(np.float32))
+    full = model.apply(params, z, method=model.decode)
+    for k in (2, 3):  # 5 steady frames: 2+2+1 and 3+2 — both ragged tails
+        stream = streaming_decode(model, params, z, chunk_latent_frames=k)
+        assert stream.shape == full.shape
+        np.testing.assert_allclose(np.asarray(stream), np.asarray(full),
+                                   atol=1e-4, rtol=1e-3)
+
+
 @requires_reference
 def test_decoder_psnr_vs_reference(rng_np):
     """North-star quality check (BASELINE.md): per-frame PSNR of our decode

@@ -158,6 +158,7 @@ def int8_dit_apply(
     block_cache: Optional[jax.Array] = None,
     return_cache: bool = False,
     cache_frac: float = 0.25,
+    cache_edge: Optional[int] = None,
     pipelined: bool = False,
 ):
     """DiT forward with the quantized trunk scanned over layers.
@@ -272,7 +273,10 @@ def int8_dit_apply(
         return apply_block(tok, w_last), snaps
 
     n = dit.cfg.num_layers
-    edge = max(1, int(n * cache_frac))
+    # cache_edge (live blocks per side) overrides the fractional default —
+    # exact integer edges keep the dense and quantized paths aligned
+    edge = max(1, int(cache_edge) if cache_edge is not None
+               else int(n * cache_frac))
     c0, c1 = edge, n - edge
 
     tok = emb["tokens"]

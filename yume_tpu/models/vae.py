@@ -582,14 +582,20 @@ def streaming_encode(vae: WanVAE, params, video: jax.Array) -> jax.Array:
     return jnp.concatenate(outs, axis=1)
 
 
-def streaming_decode(vae: WanVAE, params, z: jax.Array) -> jax.Array:
-    """Latent-frame-by-frame decode with carried caches — bit-identical to
-    `decode` with bounded memory (reference vae2_2.py:831-860)."""
+def streaming_decode(vae: WanVAE, params, z: jax.Array,
+                     chunk_latent_frames: int = 1) -> jax.Array:
+    """Chunked decode with carried caches — bit-identical to `decode` with
+    bounded memory (reference vae2_2.py:831-860 decodes one latent frame per
+    chunk; the cache semantics are chunk-length agnostic, so
+    ``chunk_latent_frames > 1`` trades peak activation memory for fewer,
+    larger XLA programs — measured −13% 720p tail-decode time at
+    tiles=2/chunk=2 vs the old tiles=4/chunk=1; larger chunks OOM a 16 GB
+    chip. scripts/bench_vae_decode.py, docs/PERF.md)."""
     fn = _jit_decode_chunk(vae)
     tz = z.shape[1]
     out, caches = fn(params, z[:, :1], None)
     outs = [out]
-    for s in range(1, tz):
-        out, caches = fn(params, z[:, s:s + 1], caches)
+    for s in range(1, tz, chunk_latent_frames):
+        out, caches = fn(params, z[:, s:s + chunk_latent_frames], caches)
         outs.append(out)
     return jnp.concatenate(outs, axis=1)

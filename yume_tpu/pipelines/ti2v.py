@@ -275,15 +275,23 @@ class TI2VPipeline:
             denoise, latent, sig, lfz, history_t=history_t,
             sde=(mode == "tts"), rng=rng)
 
-    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8))
+    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9))
     def _sample_segment_teacache(self, params, latent, ctx, history_t, steps,
-                                 shift, lfz, cache_interval=2):
+                                 shift, lfz, cache_interval=2,
+                                 cache_edge=None):
         """Euler tail sampling with block-residual caching (TeaCache;
         reference wan/modules/model.py:977-998): full DiT every
-        ``cache_interval`` steps, middle-block skipping in between."""
+        ``cache_interval`` steps, middle-block skipping in between.
+
+        ``cache_edge`` = live (recomputed) blocks per side on cached steps;
+        None keeps the round-3 default n//4 (middle half cached). Smaller
+        edges make cached steps cheaper and the reuse error larger — the
+        operating point is swept on-chip by scripts/bench_teacache_sweep.py
+        and gated by tests_tpu/test_quality_gate*.py."""
         sig = sampling_sigmas(steps, shift)
         n = self.config.dit.num_layers
-        cache_list = tuple(range(n // 4, n - n // 4))  # middle half
+        edge = n // 4 if cache_edge is None else max(1, int(cache_edge))
+        cache_list = tuple(range(edge, n - edge))
 
         def pad_v(lat, out):
             pad = jnp.zeros_like(lat[:, : lat.shape[1] - lfz])
@@ -300,7 +308,7 @@ class TI2VPipeline:
                     self.dit, params[0], params[1],
                     lat.astype(jnp.bfloat16), t_frame, ctx,
                     latent_frame_zero=lfz, attn_impl=self.attn_impl,
-                    return_cache=True)
+                    return_cache=True, cache_edge=edge)
                 return pad_v(lat, out.astype(lat.dtype)), cache
 
             def cached(lat, t_frame, cache):
@@ -308,7 +316,7 @@ class TI2VPipeline:
                     self.dit, params[0], params[1],
                     lat.astype(jnp.bfloat16), t_frame, ctx,
                     latent_frame_zero=lfz, attn_impl=self.attn_impl,
-                    block_cache=cache)
+                    block_cache=cache, cache_edge=edge)
                 return pad_v(lat, out.astype(lat.dtype))
         else:
             def full(lat, t_frame):
@@ -545,10 +553,13 @@ class TI2VPipeline:
 
     def decode_auto(self, z):
         """Memory-aware decode: full-clip for small outputs, streaming
-        (frame-by-frame, bf16 like the reference's autocast decode,
+        (chunked, bf16 like the reference's autocast decode,
         wan23/textimage2video.py:578) once the full-clip decoder activations
         would exceed a few GB. Exact — the streaming path is cache-carried,
-        not chunk-independent."""
+        not chunk-independent. At 720p-class widths the 2-tile × 2-latent-
+        frame-chunk config is the measured sweet spot on a 16 GB chip
+        (5.07 s vs 5.84 s for 4×1 at the 44×80/8-frame tail; wider chunks
+        or fewer tiles OOM — scripts/bench_vae_decode.py, docs/PERF.md)."""
         s = self.config.vae.stride
         # decoder peak activation ≈ pixels × 256ch × 4B at full temporal res
         pixels = (1 + (z.shape[1] - 1) * s[0]) * z.shape[2] * s[1] * z.shape[3] * s[2]
@@ -559,10 +570,11 @@ class TI2VPipeline:
 
         def stream(tile):
             return streaming_decode(self.vae, self.vae_params,
-                                    tile.astype(jnp.bfloat16))
+                                    tile.astype(jnp.bfloat16),
+                                    chunk_latent_frames=2)
 
         if z.shape[3] >= 40:  # also tile width at 720p-class frames
-            return tiled_decode(stream, z, n_tiles=4,
+            return tiled_decode(stream, z, n_tiles=2,
                                 scale_factor=self.config.vae.stride[1])
         return stream(z)
 
@@ -649,6 +661,7 @@ class TI2VPipeline:
         progress_cb=None,
         noise: Optional[jax.Array] = None,
         teacache_interval: int = 3,
+        teacache_edge: Optional[int] = None,
     ) -> jax.Array:
         """One autoregressive continuation: append `latent_frame_zero` fresh
         noise frames after the history, denoise them (packed history,
@@ -660,7 +673,8 @@ class TI2VPipeline:
         ``teacache_interval``: for sampler='teacache', run the full DiT
         every N-th step (1 full : N−1 cached; quality-gated on-chip by
         tests_tpu/test_quality_gate.py — the default matches bench.py's
-        best-serving headline)."""
+        best-serving headline). ``teacache_edge``: live blocks recomputed
+        per side on cached steps (None → num_layers//4)."""
         lfz = self.config.latent_frame_zero
         b, f_hist, h, w, c = history_latents.shape
         if noise is None:
@@ -697,7 +711,7 @@ class TI2VPipeline:
         if sampler == "teacache":
             return self._sample_segment_teacache(
                 self.dit_params, latent, ctx, history_t, steps, shift, lfz,
-                teacache_interval)
+                teacache_interval, teacache_edge)
         return self._sample_segment_tts(
             self.dit_params, latent, ctx, history_t, steps, shift, lfz, sampler,
             jax.random.PRNGKey(seed + 7919))
@@ -712,6 +726,7 @@ class TI2VPipeline:
         seed: int = 0,
         sampler: str = "euler",
         teacache_interval: int = 3,
+        teacache_edge: Optional[int] = None,
     ) -> Tuple[jax.Array, List[jax.Array]]:
         """Autoregressive rollout: `first_segment` [B, F0, h, w, z] latents
         (from t2v or an encoded image), then one segment per context in
@@ -723,6 +738,7 @@ class TI2VPipeline:
             latents = self.generate_segment(
                 latents, ctx, steps=steps, shift=shift, seed=seed + s + 1,
                 sampler=sampler, teacache_interval=teacache_interval,
+                teacache_edge=teacache_edge,
             )
             tail = latents[:, -self.config.latent_frame_zero:]
             videos.append(self.decode_auto(tail))

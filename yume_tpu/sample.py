@@ -72,6 +72,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(1 full : N-1 cached). 3 is the quality-gated "
                         "best-serving default (bench.py headline); 2 is "
                         "more conservative")
+    p.add_argument("--teacache_edge", type=int, default=None,
+                   help="with --teacache: live blocks recomputed per side "
+                        "on cached steps (default num_layers//4 — the "
+                        "middle half is cached). Smaller = faster cached "
+                        "steps, larger reuse error; swept on-chip by "
+                        "scripts/bench_teacache_sweep.py")
     p.add_argument("--distilled", action="store_true",
                    help="few-step distilled serving for the 14B pipeline: "
                         "one cond-only forward per step (no CFG — guidance "
@@ -519,7 +525,8 @@ def _run_video(args, cfg, pipe, encode, sampler, size, steps, slot=None):
                         steps=steps, shift=args.shift,
                         guide_scale=args.guide_scale,
                         seed=args.seed + s_idx, sampler=sampler,
-                        teacache_interval=args.teacache_interval)
+                        teacache_interval=args.teacache_interval,
+                        teacache_edge=args.teacache_edge)
                 out = os.path.join(
                     args.output_dir, f"video{v_idx:03d}_seg{s_idx:03d}.mp4")
                 save_video(np.asarray(decoded[0, -frame_zero:]), out,
@@ -537,7 +544,8 @@ def _run_video(args, cfg, pipe, encode, sampler, size, steps, slot=None):
                         latents, ctx, steps=steps,
                         shift=args.shift or cfg.sample_shift,
                         seed=args.seed + s_idx, sampler=sampler,
-                        teacache_interval=args.teacache_interval)
+                        teacache_interval=args.teacache_interval,
+                        teacache_edge=args.teacache_edge)
                 vae_phase()
                 tail = pipe.decode_auto(
                     latents[:, -cfg.latent_frame_zero:])
@@ -587,7 +595,8 @@ def _run(args, cfg, pipe, encode, captions, sampler, size, frame_num, steps,
                 jnp.asarray(img)[None, None], ctx, ctx_null,
                 frame_num=frame_num, steps=steps, shift=args.shift,
                 guide_scale=args.guide_scale, seed=args.seed, sampler=sampler,
-                teacache_interval=args.teacache_interval)
+                teacache_interval=args.teacache_interval,
+                        teacache_edge=args.teacache_edge)
         save_video(np.asarray(video[0]),
                    os.path.join(args.output_dir, "segment_000.mp4"),
                    fps=cfg.sample_fps)
@@ -643,7 +652,8 @@ def _run(args, cfg, pipe, encode, captions, sampler, size, frame_num, steps,
                 first_latents[:, : -cfg.latent_frame_zero], ctx,
                 steps=steps, shift=args.shift or cfg.sample_shift,
                 seed=args.seed, sampler=sampler,
-                teacache_interval=args.teacache_interval)
+                teacache_interval=args.teacache_interval,
+                        teacache_edge=args.teacache_edge)
         with phase("vae_decode"):
             vae_phase()
             video = pipe.decode_auto(first_latents)
@@ -663,7 +673,8 @@ def _run(args, cfg, pipe, encode, captions, sampler, size, frame_num, steps,
             latents = pipe.generate_segment(
                 latents, ctx, steps=steps, shift=args.shift or 7.0,
                 seed=args.seed + s, sampler=sampler,
-                teacache_interval=args.teacache_interval)
+                teacache_interval=args.teacache_interval,
+                        teacache_edge=args.teacache_edge)
         with phase("vae_decode"):
             vae_phase()
             tail_video = pipe.decode_auto(latents[:, -cfg.latent_frame_zero:])
