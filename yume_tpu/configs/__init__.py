@@ -196,6 +196,9 @@ def i2v_a14b() -> PipelineConfig:
                       arch="wan21"),
         latent_frame_zero=1,   # single-shot i2v: no autoregressive tail
         sample_shift=5.0,
+        # 40 = WanI2V.generate()'s default (wan23/image2video.py:234); the
+        # reference config file itself sets sample_steps=5 (that fork's
+        # distilled setting), which is NOT what stock serving uses
         sample_steps=40,
         frame_num=81,
         sample_fps=16,

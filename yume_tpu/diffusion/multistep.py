@@ -102,6 +102,12 @@ def sample_dpmpp_2m(
     if denoise_fn_low is None:
         carry, _ = jax.lax.scan(mk_step(denoise_fn), carry, trips)
         return carry.x
+    if boundary is None:
+        raise ValueError("denoise_fn_low requires an explicit boundary "
+                         "(the expert-switch sigma)")
+    if np.any(np.diff(sig_np) > 0):
+        raise ValueError("dual-expert prefix split assumes a descending "
+                         "sigma ladder")
     split = int(np.sum(sig_np[:-1] >= boundary))
     if split:
         carry, _ = jax.lax.scan(mk_step(denoise_fn), carry, trips[:split])
@@ -162,6 +168,9 @@ def sample_unipc(
     entry 0 (terminal step lands on the data prediction exactly).
     """
     sig = [float(s) for s in np.asarray(sigmas, np.float64)]
+    if denoise_fn_low is not None and boundary is None:
+        raise ValueError("denoise_fn_low requires an explicit boundary "
+                         "(the expert-switch sigma)")
     n_steps = len(sig) - 1
     b = noise.shape[0]
     x = noise

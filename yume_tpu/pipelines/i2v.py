@@ -387,16 +387,21 @@ class I2VPipeline:
             denoise, latent0, noise, ctx, ctx_null, sig, lfz, guide_scale,
             interval=interval, travel_steps=travel_steps, sde=sde, rng=rng)
 
-    @functools.partial(jax.jit, static_argnums=(0, 7, 8, 9, 10))
+    @functools.partial(jax.jit, static_argnums=(0, 7, 8, 9, 10, 11))
     def _sample_cfg_teacache(self, params, noise, y, ctx, ctx_null, clip_ctx,
-                             steps, shift, guide_scale, cache_interval=2):
+                             steps, shift, guide_scale, cache_interval=2,
+                             cache_edge=None):
         """CFG sampling with TeaCache block-residual reuse (reference
         wan/modules/model.py:977-998): full DiT every ``cache_interval``
-        steps per branch (cond/uncond caches kept separately)."""
+        steps per branch (cond/uncond caches kept separately).
+        ``cache_edge`` = live blocks per side on cached steps (None →
+        num_layers//4, the middle half cached — same semantics as
+        TI2VPipeline._sample_segment_teacache)."""
         sig = sampling_sigmas(steps, shift)
         lfz = self.config.latent_frame_zero
         n = self.config.dit.num_layers
-        cache_list = tuple(range(n // 4, n - n // 4))  # middle half
+        edge = n // 4 if cache_edge is None else max(1, int(cache_edge))
+        cache_list = tuple(range(edge, n - edge))
 
         def pad_v(latent, out):
             pad = jnp.zeros_like(latent[:, : latent.shape[1] - lfz])
@@ -483,6 +488,7 @@ class I2VPipeline:
         seed: int = 0,
         sampler: str = "euler",
         teacache_interval: int = 3,
+        teacache_edge: Optional[int] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """One 14B segment: returns (latents [B, F_lat, h, w, 16], decoded
         video [B, frame_num, H, W, 3]). ``sampler``: 'euler' |
@@ -535,7 +541,7 @@ class I2VPipeline:
         if sampler == "teacache":
             latents = self._sample_cfg_teacache(
                 self.dit_params, noise, y, ctx, ctx_null, clip_ctx, steps,
-                shift, guide_scale, teacache_interval)
+                shift, guide_scale, teacache_interval, teacache_edge)
         elif sampler in ("sde", "time_travel", "tts"):
             # TTS: 'sde' = churn only, 'time_travel' = lookahead only,
             # 'tts' = both (reference sample_tts.py runs them combined)
@@ -566,6 +572,7 @@ class I2VPipeline:
         seed: int = 0,
         sampler: str = "euler",
         teacache_interval: int = 3,
+        teacache_edge: Optional[int] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """Autoregressive continuation: re-condition on the decoded history
         video and denoise ``frame_zero`` new pixel frames (reference
@@ -577,4 +584,5 @@ class I2VPipeline:
             history_video, ctx, ctx_null, frame_num=frame_num, steps=steps,
             shift=shift, guide_scale=guide_scale, history_mode=True, seed=seed,
             sampler=sampler, teacache_interval=teacache_interval,
+            teacache_edge=teacache_edge,
         )

@@ -474,7 +474,7 @@ def iter_video_samples(args, size):
         return jnp.asarray(video)[None], caption
 
     if args.input_video:
-        yield load(args.input_video, args.prompt)
+        yield load(args.input_video, args.prompt) + ("video000",)
     if args.video_root_dir:
         # multi-host: stride the scan so each process serves disjoint clips
         # (≙ reference (step-1)*world_size+rank, fastvideo/sample/sample.py:667)
@@ -482,8 +482,10 @@ def iter_video_samples(args, size):
         files = [mp4
                  for sub in sorted(glob.glob(os.path.join(args.video_root_dir, "*/")))
                  for mp4 in sorted(glob.glob(os.path.join(sub, "*.mp4")))]
-        for mp4 in files[p_idx::p_cnt]:
-            yield load(mp4, args.prompt)
+        for i, mp4 in enumerate(files[p_idx::p_cnt]):
+            # tag by GLOBAL file index so hosts sharing an output_dir never
+            # collide (local index i ↔ global p_idx + i*p_cnt)
+            yield load(mp4, args.prompt) + (f"video{p_idx + i * p_cnt:03d}",)
 
 
 def _run_video(args, cfg, pipe, encode, sampler, size, steps, slot=None):
@@ -500,7 +502,7 @@ def _run_video(args, cfg, pipe, encode, sampler, size, steps, slot=None):
             slot.phase("vae")
 
     n_out = 0
-    for v_idx, (video, caption) in enumerate(iter_video_samples(args, size)):
+    for video, caption, tag in iter_video_samples(args, size):
         cap = caption + _VIDEO_METRICS_SUFFIX
         ctx = encode(cap)
         t0 = time.time()
@@ -528,7 +530,7 @@ def _run_video(args, cfg, pipe, encode, sampler, size, steps, slot=None):
                         teacache_interval=args.teacache_interval,
                         teacache_edge=args.teacache_edge)
                 out = os.path.join(
-                    args.output_dir, f"video{v_idx:03d}_seg{s_idx:03d}.mp4")
+                    args.output_dir, f"{tag}_seg{s_idx:03d}.mp4")
                 save_video(np.asarray(decoded[0, -frame_zero:]), out,
                            fps=cfg.sample_fps)
                 n_out += 1
@@ -550,10 +552,10 @@ def _run_video(args, cfg, pipe, encode, sampler, size, steps, slot=None):
                 tail = pipe.decode_auto(
                     latents[:, -cfg.latent_frame_zero:])
                 out = os.path.join(
-                    args.output_dir, f"video{v_idx:03d}_seg{s_idx:03d}.mp4")
+                    args.output_dir, f"{tag}_seg{s_idx:03d}.mp4")
                 save_video(np.asarray(tail[0]), out, fps=cfg.sample_fps)
                 n_out += 1
-        print(f"--> video {v_idx}: {args.sample_num} segment(s) in "
+        print(f"--> {tag}: {args.sample_num} segment(s) in "
               f"{time.time() - t0:.1f}s ({caption[:60]})")
     if n_out == 0:
         raise FileNotFoundError(
