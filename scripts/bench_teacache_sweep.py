@@ -74,12 +74,21 @@ def part_quality(grid):
     print("bf16 euler reference done")
     sys.stdout.flush()
 
-    for interval, edge in grid:
-        got = pipe.generate_segment(
-            hist, ctx, steps=STEPS, shift=7.0, sampler="teacache",
-            teacache_interval=interval, teacache_edge=edge)
-        p = _psnr(ref, np.asarray(got[:, -LFZ:], np.float32))
-        print(f"interval={interval} edge={edge}: {p:.1f} dB")
+    for spec, edge in grid:
+        if isinstance(spec, float):  # adaptive threshold entry ("t0.15x7")
+            got = pipe.generate_segment(
+                hist, ctx, steps=STEPS, shift=7.0, sampler="teacache",
+                teacache_edge=edge, teacache_threshold=spec)
+            n_full = int(pipe.last_teacache_n_full)
+            p = _psnr(ref, np.asarray(got[:, -LFZ:], np.float32))
+            print(f"threshold={spec} edge={edge}: {p:.1f} dB "
+                  f"(n_full {n_full}/{STEPS})")
+        else:
+            got = pipe.generate_segment(
+                hist, ctx, steps=STEPS, shift=7.0, sampler="teacache",
+                teacache_interval=spec, teacache_edge=edge)
+            p = _psnr(ref, np.asarray(got[:, -LFZ:], np.float32))
+            print(f"interval={spec} edge={edge}: {p:.1f} dB")
         sys.stdout.flush()
 
 
@@ -160,12 +169,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--part", choices=["quality", "speed"], required=True)
     ap.add_argument("--grid", default="3x7,3x5,3x3,3x1,2x3,2x1",
-                    help="quality part: interval×edge pairs")
+                    help="quality part: interval×edge pairs; prefix 't' "
+                         "for adaptive thresholds (t0.15x7)")
     ap.add_argument("--edges", default="7,5,3,1")
     args = ap.parse_args()
     if args.part == "quality":
-        part_quality([tuple(int(v) for v in s.split("x"))
-                      for s in args.grid.split(",")])
+        def _spec(tok):
+            a, b = tok.split("x")
+            return (float(a[1:]) if a.startswith("t") else int(a), int(b))
+        part_quality([_spec(tok) for tok in args.grid.split(",")])
     else:
         part_speed([int(v) for v in args.edges.split(",")])
 

@@ -537,3 +537,155 @@ def euler_sample_segment_cached(
         tail = latent[:, -latent_frame_zero:] + (s_n - s_i) * v[:, -latent_frame_zero:]
         latent = jnp.concatenate([latent[:, :f_hist], tail], axis=1)
     return latent
+
+
+def _rel_l1(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.sum(jnp.abs(a - b)) / jnp.maximum(jnp.sum(jnp.abs(b)), 1e-6)
+
+
+def euler_sample_segment_cached_adaptive(
+    denoise_full,
+    denoise_cached,
+    latent: jax.Array,
+    sigmas: np.ndarray,
+    latent_frame_zero: int,
+    *,
+    threshold: float = 0.15,
+    history_t: Optional[jax.Array] = None,
+):
+    """TeaCache with DATA-ADAPTIVE refresh scheduling: instead of a fixed
+    1-in-N interval, each step accumulates the relative-L1 delta of the
+    model input (the evolving tail latent) and runs the full DiT only when
+    the accumulator crosses ``threshold`` — refreshes are spent where the
+    trajectory moves fast (early, high-sigma steps) and cached steps where
+    it is smooth. The reference's residual-cache mechanism is
+    wan/modules/model.py:977-998; the schedule there is driven externally,
+    so the indicator policy is ours (TeaCache-style rel-L1 thresholding).
+
+    Step 0 always runs full. The loop is ONE ``lax.scan`` whose body holds a
+    two-branch ``lax.cond`` — the compiled program contains exactly one
+    full trace and one cached trace regardless of step count (the 14B
+    compile lesson), and only the taken branch executes at runtime.
+
+    Returns ``(latent, n_full)`` — n_full counts full-DiT steps actually
+    executed (includes step 0), for effective-cost accounting.
+    """
+    b, f = latent.shape[:2]
+    f_hist = f - latent_frame_zero
+    if history_t is None:
+        history_t = jnp.zeros((b, f_hist), jnp.float32)
+    sig = np.asarray(sigmas, np.float32)
+
+    def t_frame_at(s_i):
+        return jnp.concatenate(
+            [history_t * 1000.0,
+             jnp.broadcast_to(s_i * 1000.0, (b, latent_frame_zero))], axis=1)
+
+    # step 0: full pass seeds the cache
+    s0, s1 = float(sig[0]), float(sig[1])
+    prev_tail = latent[:, -latent_frame_zero:]
+    v, cache = denoise_full(latent, t_frame_at(jnp.float32(s0)))
+    tail = prev_tail + (s1 - s0) * v[:, -latent_frame_zero:]
+    latent = jnp.concatenate([latent[:, :f_hist], tail], axis=1)
+
+    def step(carry, tr):
+        lat, cache, prev_tail, accum, n_full = carry
+        s_i, s_n = tr[0], tr[1]
+        cur_tail = lat[:, -latent_frame_zero:]
+        accum = accum + _rel_l1(cur_tail, prev_tail)
+        refresh = accum >= threshold
+        t_frame = t_frame_at(s_i)
+
+        def do_full(op):
+            lat_, _ = op
+            v, new_cache = denoise_full(lat_, t_frame)
+            return v, new_cache
+
+        def do_cached(op):
+            lat_, cache_ = op
+            return denoise_cached(lat_, t_frame, cache_), cache_
+
+        v, cache = jax.lax.cond(refresh, do_full, do_cached, (lat, cache))
+        tail = cur_tail + (s_n - s_i) * v[:, -latent_frame_zero:]
+        lat = jnp.concatenate([lat[:, :f_hist], tail], axis=1)
+        accum = jnp.where(refresh, 0.0, accum)
+        n_full = n_full + refresh.astype(jnp.int32)
+        return (lat, cache, cur_tail, accum, n_full), None
+
+    carry = (latent, cache, prev_tail, jnp.float32(0.0), jnp.int32(1))
+    (latent, _, _, _, n_full), _ = jax.lax.scan(
+        step, carry, _sigma_pairs(sig[1:]))
+    return latent, n_full
+
+
+def cfg_euler_sample_segment_cached_adaptive(
+    denoise_full,
+    denoise_cached,
+    latent: jax.Array,
+    noise: jax.Array,
+    ctx: jax.Array,
+    ctx_null: jax.Array,
+    sigmas: np.ndarray,
+    latent_frame_zero: int,
+    guide_scale: float,
+    *,
+    threshold: float = 0.15,
+):
+    """CFG (14B) analogue of :func:`euler_sample_segment_cached_adaptive`:
+    cond and uncond caches refresh together on the shared tail-latent
+    indicator (their inputs are identical, so one indicator drives both —
+    ≙ the reference keeping separate `cache`/`cache_uncond` lists but one
+    step counter). Returns ``(latent, n_full)``."""
+    b, f = latent.shape[:2]
+    f_hist = f - latent_frame_zero
+    clean_history = latent[:, :f_hist]
+    sig = np.asarray(sigmas, np.float32)
+    s0, s1 = float(sig[0]), float(sig[1])
+    hist0 = s0 * noise[:, :f_hist] + (1.0 - s0) * clean_history
+    latent = jnp.concatenate([hist0, noise[:, f_hist:]], axis=1)
+
+    def t_frame_at(s_i):
+        return jnp.broadcast_to(s_i * 1000.0, (b, f))
+
+    prev_tail = latent[:, -latent_frame_zero:]
+    v_c, cache_c = denoise_full(latent, t_frame_at(jnp.float32(s0)), ctx)
+    v_u, cache_u = denoise_full(latent, t_frame_at(jnp.float32(s0)), ctx_null)
+    v = v_u + guide_scale * (v_c - v_u)
+    tail = prev_tail + (s1 - s0) * v[:, -latent_frame_zero:]
+    hist = s1 * noise[:, :f_hist] + (1.0 - s1) * clean_history
+    latent = jnp.concatenate([hist, tail], axis=1)
+
+    def step(carry, tr):
+        lat, cache_c, cache_u, prev_tail, accum, n_full = carry
+        s_i, s_n = tr[0], tr[1]
+        cur_tail = lat[:, -latent_frame_zero:]
+        accum = accum + _rel_l1(cur_tail, prev_tail)
+        refresh = accum >= threshold
+        t_frame = t_frame_at(s_i)
+
+        def do_full(op):
+            lat_, _, _ = op
+            v_c, new_c = denoise_full(lat_, t_frame, ctx)
+            v_u, new_u = denoise_full(lat_, t_frame, ctx_null)
+            return v_c, v_u, new_c, new_u
+
+        def do_cached(op):
+            lat_, cc, cu = op
+            return (denoise_cached(lat_, t_frame, ctx, cc),
+                    denoise_cached(lat_, t_frame, ctx_null, cu), cc, cu)
+
+        v_c, v_u, cache_c, cache_u = jax.lax.cond(
+            refresh, do_full, do_cached, (lat, cache_c, cache_u))
+        v = v_u + guide_scale * (v_c - v_u)
+        tail = cur_tail + (s_n - s_i) * v[:, -latent_frame_zero:]
+        hist = s_n * noise[:, :f_hist] + (1.0 - s_n) * clean_history
+        lat = jnp.concatenate([hist, tail], axis=1)
+        accum = jnp.where(refresh, 0.0, accum)
+        n_full = n_full + refresh.astype(jnp.int32)
+        return (lat, cache_c, cache_u, cur_tail, accum, n_full), None
+
+    carry = (latent, cache_c, cache_u, prev_tail, jnp.float32(0.0),
+             jnp.int32(1))
+    (latent, _, _, _, _, n_full), _ = jax.lax.scan(
+        step, carry, _sigma_pairs(sig[1:]))
+    return latent, n_full

@@ -942,9 +942,23 @@ class WanDiT(nn.Module):
                     l_hist=0, tail_grid=(gf, gh, gw))
 
     def trunk_head(self, tokens, t_values, idx, ctx, cos, sin,
-                   attn_impl=None):
+                   attn_impl=None, block_cache=None,
+                   cache_list: Tuple[int, ...] = (),
+                   return_cache: bool = False):
         """Blocks + head over pre-embedded tokens (per-token compute only —
-        safe to shard along the token axis inside shard_map)."""
+        safe to shard along the token axis inside shard_map).
+
+        TeaCache composition under SP: block residuals are per-token, so a
+        cache captured inside shard_map stays sharded along the token axis
+        between denoise steps — cached steps never re-gather it
+        (``block_cache``/``cache_list``/``return_cache`` have the same
+        semantics as :meth:`__call__`)."""
         mod = self._time_mod(t_values, idx)
-        out, mod_out, _ = self._trunk(tokens, mod, ctx, cos, sin, attn_impl, None)
-        return self.head(out, mod_out)
+        out, mod_out, new_cache = self._trunk(
+            tokens, mod, ctx, cos, sin, attn_impl, None,
+            block_cache=block_cache, cache_list=cache_list,
+            return_cache=return_cache)
+        head = self.head(out, mod_out)
+        if return_cache:
+            return head, new_cache
+        return head

@@ -46,11 +46,21 @@ def sp_dit_apply(
     latent_frame_zero: int = 8,
     clip_context: Optional[jax.Array] = None,
     kind: str = "ulysses",
+    cache_list: tuple = (),
+    block_cache: Optional[jax.Array] = None,
+    return_cache: bool = False,
 ) -> jax.Array:
     """Packed DiT forward with the trunk sequence-sharded over mesh axis
     'sp' (or, for ``kind='usp'``, the 2D (sp_u, sp_r) axes of a
     make_usp_mesh). Returns the tail-frame velocity like the packed
-    forward."""
+    forward.
+
+    TeaCache under SP (≙ the reference running its cached model under FSDP
+    sharding, fastvideo/sample/sample.py:979-985 + wan/modules/model.py:
+    977-998): ``return_cache=True`` additionally returns the stacked
+    block-residual cache [n_cache, B, L_pad, D] — sharded along L like the
+    tokens, so it stays resident on its shards between denoise steps;
+    ``block_cache`` feeds it back on cached steps."""
     if kind == "usp":
         sp_axes: tuple = ("sp_u", "sp_r")
         sp = mesh.shape["sp_u"] * mesh.shape["sp_r"]
@@ -84,20 +94,48 @@ def sp_dit_apply(
         sp_attn = functools.partial(ring_attention, axis_name="sp",
                                     kv_len=kv_len)
 
-    def trunk(tok, idx_s, cos_s, sin_s):
-        return dit.apply(
-            params, tok, emb["t_values"], idx_s, emb["ctx"], cos_s, sin_s,
-            sp_attn, method=dit.trunk_head,
-        )
+    tok_spec = P(None, sp_axes, None)
+    base_in = (tok_spec, P(None, sp_axes), P(sp_axes, None), P(sp_axes, None))
+    cache_spec = P(None, None, sp_axes, None)  # [n_cache, B, L, D]
 
-    out = shard_map(
-        trunk,
-        mesh=mesh,
-        in_specs=(P(None, sp_axes, None), P(None, sp_axes),
-                  P(sp_axes, None), P(sp_axes, None)),
-        out_specs=P(None, sp_axes, None),
-        check_rep=False,
-    )(tokens, idx, cos, sin)
+    if return_cache:
+        def trunk(tok, idx_s, cos_s, sin_s):
+            out, new_cache = dit.apply(
+                params, tok, emb["t_values"], idx_s, emb["ctx"], cos_s,
+                sin_s, sp_attn, cache_list=cache_list, return_cache=True,
+                method=dit.trunk_head)
+            return out, jnp.stack(new_cache)
+
+        out, cache = shard_map(
+            trunk, mesh=mesh, in_specs=base_in,
+            out_specs=(tok_spec, cache_spec), check_rep=False,
+        )(tokens, idx, cos, sin)
+        out = out[:, : l_true]
+        return dit._unpatchify(out[:, emb["l_hist"]:], emb["tail_grid"]), cache
+
+    if block_cache is not None:
+        def trunk(tok, idx_s, cos_s, sin_s, cache_s):
+            cache_l = [cache_s[j] for j in range(len(cache_list))]
+            return dit.apply(
+                params, tok, emb["t_values"], idx_s, emb["ctx"], cos_s,
+                sin_s, sp_attn, cache_list=cache_list, block_cache=cache_l,
+                method=dit.trunk_head)
+
+        out = shard_map(
+            trunk, mesh=mesh, in_specs=base_in + (cache_spec,),
+            out_specs=tok_spec, check_rep=False,
+        )(tokens, idx, cos, sin, block_cache)
+    else:
+        def trunk(tok, idx_s, cos_s, sin_s):
+            return dit.apply(
+                params, tok, emb["t_values"], idx_s, emb["ctx"], cos_s, sin_s,
+                sp_attn, method=dit.trunk_head,
+            )
+
+        out = shard_map(
+            trunk, mesh=mesh, in_specs=base_in,
+            out_specs=tok_spec, check_rep=False,
+        )(tokens, idx, cos, sin)
 
     out = out[:, : l_true]
     return dit._unpatchify(out[:, emb["l_hist"]:], emb["tail_grid"])

@@ -387,10 +387,10 @@ class I2VPipeline:
             denoise, latent0, noise, ctx, ctx_null, sig, lfz, guide_scale,
             interval=interval, travel_steps=travel_steps, sde=sde, rng=rng)
 
-    @functools.partial(jax.jit, static_argnums=(0, 7, 8, 9, 10, 11))
+    @functools.partial(jax.jit, static_argnums=(0, 7, 8, 9, 10, 11, 12))
     def _sample_cfg_teacache(self, params, noise, y, ctx, ctx_null, clip_ctx,
                              steps, shift, guide_scale, cache_interval=2,
-                             cache_edge=None):
+                             cache_edge=None, cache_threshold=None):
         """CFG sampling with TeaCache block-residual reuse (reference
         wan/modules/model.py:977-998): full DiT every ``cache_interval``
         steps per branch (cond/uncond caches kept separately).
@@ -426,6 +426,28 @@ class I2VPipeline:
                     latent_frame_zero=lfz, clip_context=clip_ctx,
                     attn_impl=self.attn_impl, block_cache=cache)
                 return pad_v(latent, out.astype(latent.dtype))
+        elif self.mesh is not None:
+            # multi-chip SP TeaCache: token-sharded residual cache kept
+            # resident on its shards between steps (per CFG branch)
+            from ..parallel.sp_forward import sp_dit_apply
+
+            def full(latent, t_frame, context):
+                x_in = jnp.concatenate([latent, y], axis=-1).astype(jnp.bfloat16)
+                out, cache = sp_dit_apply(
+                    self.dit, params, self.mesh, x_in, t_frame, context,
+                    latent_frame_zero=lfz, clip_context=clip_ctx,
+                    kind=self.sp_kind, cache_list=cache_list,
+                    return_cache=True)
+                return pad_v(latent, out.astype(latent.dtype)), cache
+
+            def cached(latent, t_frame, context, cache):
+                x_in = jnp.concatenate([latent, y], axis=-1).astype(jnp.bfloat16)
+                out = sp_dit_apply(
+                    self.dit, params, self.mesh, x_in, t_frame, context,
+                    latent_frame_zero=lfz, clip_context=clip_ctx,
+                    kind=self.sp_kind, cache_list=cache_list,
+                    block_cache=cache)
+                return pad_v(latent, out.astype(latent.dtype))
         else:
             def full(latent, t_frame, context):
                 x_in = jnp.concatenate([latent, y], axis=-1).astype(jnp.bfloat16)
@@ -449,9 +471,14 @@ class I2VPipeline:
         latent0 = jnp.concatenate(
             [clean_hist[:, : noise.shape[1] - lfz], noise[:, -lfz:]], axis=1
         )
-        return samplers.cfg_euler_sample_segment_cached(
+        if cache_threshold is not None:
+            return samplers.cfg_euler_sample_segment_cached_adaptive(
+                full, cached, latent0, noise, ctx, ctx_null, sig, lfz,
+                guide_scale, threshold=cache_threshold)
+        out = samplers.cfg_euler_sample_segment_cached(
             full, cached, latent0, noise, ctx, ctx_null, sig, lfz,
             guide_scale, cache_interval=cache_interval)
+        return out, jnp.asarray(-(-steps // cache_interval), jnp.int32)
 
     def quantize_int8(self, bits: int = 8):
         """Requantize the DiT trunk to int8 (models/quantized.py): ~½ the
@@ -489,6 +516,7 @@ class I2VPipeline:
         sampler: str = "euler",
         teacache_interval: int = 3,
         teacache_edge: Optional[int] = None,
+        teacache_threshold: Optional[float] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """One 14B segment: returns (latents [B, F_lat, h, w, 16], decoded
         video [B, frame_num, H, W, 3]). ``sampler``: 'euler' |
@@ -528,20 +556,19 @@ class I2VPipeline:
             raise NotImplementedError(
                 "distilled (ctx_null=None) serving supports the euler "
                 f"sampler, got {sampler!r}")
-        if self.mesh is not None and sampler == "teacache":
-            # _sample_cfg and _sample_cfg_tts route through sp_dit_apply,
-            # but the cached teacache forward uses the dense dit.apply —
-            # refuse instead of silently degrading to single-program
+        if self.mesh is not None and isinstance(self.dit_params, tuple):
             raise NotImplementedError(
-                "multi-chip SP serving supports euler/sde/time_travel "
-                "samplers; teacache needs the single-chip trunk")
+                "the int8/int4 storage trunk is single-chip; use --w8a8 "
+                "(dynamic int8 MXU matmuls) for quantized SP serving")
         if sampler == "teacache" and teacache_interval < 1:
             raise ValueError(
                 f"teacache_interval must be >= 1, got {teacache_interval}")
         if sampler == "teacache":
-            latents = self._sample_cfg_teacache(
+            latents, n_full = self._sample_cfg_teacache(
                 self.dit_params, noise, y, ctx, ctx_null, clip_ctx, steps,
-                shift, guide_scale, teacache_interval, teacache_edge)
+                shift, guide_scale, teacache_interval, teacache_edge,
+                teacache_threshold)
+            self.last_teacache_n_full = n_full
         elif sampler in ("sde", "time_travel", "tts"):
             # TTS: 'sde' = churn only, 'time_travel' = lookahead only,
             # 'tts' = both (reference sample_tts.py runs them combined)
@@ -573,6 +600,7 @@ class I2VPipeline:
         sampler: str = "euler",
         teacache_interval: int = 3,
         teacache_edge: Optional[int] = None,
+        teacache_threshold: Optional[float] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """Autoregressive continuation: re-condition on the decoded history
         video and denoise ``frame_zero`` new pixel frames (reference
@@ -585,4 +613,5 @@ class I2VPipeline:
             shift=shift, guide_scale=guide_scale, history_mode=True, seed=seed,
             sampler=sampler, teacache_interval=teacache_interval,
             teacache_edge=teacache_edge,
+            teacache_threshold=teacache_threshold,
         )

@@ -275,10 +275,10 @@ class TI2VPipeline:
             denoise, latent, sig, lfz, history_t=history_t,
             sde=(mode == "tts"), rng=rng)
 
-    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9))
+    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9, 10))
     def _sample_segment_teacache(self, params, latent, ctx, history_t, steps,
                                  shift, lfz, cache_interval=2,
-                                 cache_edge=None):
+                                 cache_edge=None, cache_threshold=None):
         """Euler tail sampling with block-residual caching (TeaCache;
         reference wan/modules/model.py:977-998): full DiT every
         ``cache_interval`` steps, middle-block skipping in between.
@@ -318,6 +318,25 @@ class TI2VPipeline:
                     latent_frame_zero=lfz, attn_impl=self.attn_impl,
                     block_cache=cache, cache_edge=edge)
                 return pad_v(lat, out.astype(lat.dtype))
+        elif self.mesh is not None:
+            # multi-chip SP TeaCache: the residual cache is token-sharded
+            # and stays resident on its shards between steps (≙ reference
+            # cached model under FSDP, fastvideo/sample/sample.py:979-985)
+            from ..parallel.sp_forward import sp_dit_apply
+
+            def full(lat, t_frame):
+                out, cache = sp_dit_apply(
+                    self.dit, params, self.mesh, lat.astype(jnp.bfloat16),
+                    t_frame, ctx, latent_frame_zero=lfz, kind=self.sp_kind,
+                    cache_list=cache_list, return_cache=True)
+                return pad_v(lat, out.astype(lat.dtype)), cache
+
+            def cached(lat, t_frame, cache):
+                out = sp_dit_apply(
+                    self.dit, params, self.mesh, lat.astype(jnp.bfloat16),
+                    t_frame, ctx, latent_frame_zero=lfz, kind=self.sp_kind,
+                    cache_list=cache_list, block_cache=cache)
+                return pad_v(lat, out.astype(lat.dtype))
         else:
             def full(lat, t_frame):
                 out, cache = self.dit.apply(
@@ -333,9 +352,17 @@ class TI2VPipeline:
                     cache_list=cache_list, block_cache=cache)
                 return pad_v(lat, out.astype(lat.dtype))
 
-        return samplers.euler_sample_segment_cached(
+        if cache_threshold is not None:
+            # data-adaptive refresh: accumulate the rel-L1 input delta and
+            # refresh when it crosses the threshold (refreshes land where
+            # the trajectory moves fast instead of on a fixed grid)
+            return samplers.euler_sample_segment_cached_adaptive(
+                full, cached, latent, sig, lfz, threshold=cache_threshold,
+                history_t=history_t)
+        out = samplers.euler_sample_segment_cached(
             full, cached, latent, sig, lfz, cache_interval=cache_interval,
             history_t=history_t)
+        return out, jnp.asarray(-(-steps // cache_interval), jnp.int32)
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _decode_p(self, params, z):
@@ -662,6 +689,7 @@ class TI2VPipeline:
         noise: Optional[jax.Array] = None,
         teacache_interval: int = 3,
         teacache_edge: Optional[int] = None,
+        teacache_threshold: Optional[float] = None,
     ) -> jax.Array:
         """One autoregressive continuation: append `latent_frame_zero` fresh
         noise frames after the history, denoise them (packed history,
@@ -691,15 +719,19 @@ class TI2VPipeline:
                                                                   "teacache"):
             raise NotImplementedError(
                 f"int8 trunk supports euler/teacache samplers, got {sampler!r}")
-        if self.mesh is not None and sampler != "euler":
-            # only the euler trunk routes through sp_dit_apply; the TTS and
-            # TeaCache samplers use the dense dit.apply — running them with
-            # a mesh set would silently fall back to single-program
-            # execution instead of sharding, so refuse loudly (same style as
-            # the PP/int8 guards above)
+        if self.mesh is not None and sampler not in ("euler", "teacache"):
+            # euler and teacache route through sp_dit_apply; the TTS
+            # samplers use the dense dit.apply — running them with a mesh
+            # set would silently fall back to single-program execution
+            # instead of sharding, so refuse loudly (same style as the
+            # PP/int8 guards above)
             raise NotImplementedError(
-                f"multi-chip SP serving supports the euler sampler, got "
-                f"{sampler!r}; drop --sp or use sampler='euler'")
+                f"multi-chip SP serving supports euler/teacache samplers, "
+                f"got {sampler!r}; drop --sp or use sampler='euler'")
+        if self.mesh is not None and isinstance(self.dit_params, tuple):
+            raise NotImplementedError(
+                "the int8/int4 storage trunk is single-chip; use --w8a8 "
+                "(dynamic int8 MXU matmuls) for quantized SP serving")
         if sampler == "teacache" and teacache_interval < 1:
             raise ValueError(
                 f"teacache_interval must be >= 1, got {teacache_interval}")
@@ -709,9 +741,13 @@ class TI2VPipeline:
                                         steps, shift, lfz,
                                         progress_cb is not None)
         if sampler == "teacache":
-            return self._sample_segment_teacache(
+            out, n_full = self._sample_segment_teacache(
                 self.dit_params, latent, ctx, history_t, steps, shift, lfz,
-                teacache_interval, teacache_edge)
+                teacache_interval, teacache_edge, teacache_threshold)
+            # full-DiT steps actually executed (adaptive scheduling):
+            # effective-cost accounting for bench/sweep tooling
+            self.last_teacache_n_full = n_full
+            return out
         return self._sample_segment_tts(
             self.dit_params, latent, ctx, history_t, steps, shift, lfz, sampler,
             jax.random.PRNGKey(seed + 7919))
@@ -727,6 +763,7 @@ class TI2VPipeline:
         sampler: str = "euler",
         teacache_interval: int = 3,
         teacache_edge: Optional[int] = None,
+        teacache_threshold: Optional[float] = None,
     ) -> Tuple[jax.Array, List[jax.Array]]:
         """Autoregressive rollout: `first_segment` [B, F0, h, w, z] latents
         (from t2v or an encoded image), then one segment per context in
@@ -739,6 +776,7 @@ class TI2VPipeline:
                 latents, ctx, steps=steps, shift=shift, seed=seed + s + 1,
                 sampler=sampler, teacache_interval=teacache_interval,
                 teacache_edge=teacache_edge,
+                teacache_threshold=teacache_threshold,
             )
             tail = latents[:, -self.config.latent_frame_zero:]
             videos.append(self.decode_auto(tail))

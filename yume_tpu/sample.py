@@ -78,6 +78,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "middle half is cached). Smaller = faster cached "
                         "steps, larger reuse error; swept on-chip by "
                         "scripts/bench_teacache_sweep.py")
+    p.add_argument("--teacache_threshold", type=float, default=None,
+                   help="with --teacache: DATA-ADAPTIVE refresh — run the "
+                        "full DiT when the accumulated rel-L1 input delta "
+                        "crosses this threshold (refreshes land where the "
+                        "trajectory moves fast). Overrides "
+                        "--teacache_interval")
     p.add_argument("--distilled", action="store_true",
                    help="few-step distilled serving for the 14B pipeline: "
                         "one cond-only forward per step (no CFG — guidance "
@@ -528,7 +534,8 @@ def _run_video(args, cfg, pipe, encode, sampler, size, steps, slot=None):
                         guide_scale=args.guide_scale,
                         seed=args.seed + s_idx, sampler=sampler,
                         teacache_interval=args.teacache_interval,
-                        teacache_edge=args.teacache_edge)
+                        teacache_edge=args.teacache_edge,
+                        teacache_threshold=args.teacache_threshold)
                 out = os.path.join(
                     args.output_dir, f"{tag}_seg{s_idx:03d}.mp4")
                 save_video(np.asarray(decoded[0, -frame_zero:]), out,
@@ -547,7 +554,8 @@ def _run_video(args, cfg, pipe, encode, sampler, size, steps, slot=None):
                         shift=args.shift or cfg.sample_shift,
                         seed=args.seed + s_idx, sampler=sampler,
                         teacache_interval=args.teacache_interval,
-                        teacache_edge=args.teacache_edge)
+                        teacache_edge=args.teacache_edge,
+                        teacache_threshold=args.teacache_threshold)
                 vae_phase()
                 tail = pipe.decode_auto(
                     latents[:, -cfg.latent_frame_zero:])
@@ -598,7 +606,8 @@ def _run(args, cfg, pipe, encode, captions, sampler, size, frame_num, steps,
                 frame_num=frame_num, steps=steps, shift=args.shift,
                 guide_scale=args.guide_scale, seed=args.seed, sampler=sampler,
                 teacache_interval=args.teacache_interval,
-                        teacache_edge=args.teacache_edge)
+                        teacache_edge=args.teacache_edge,
+                        teacache_threshold=args.teacache_threshold)
         save_video(np.asarray(video[0]),
                    os.path.join(args.output_dir, "segment_000.mp4"),
                    fps=cfg.sample_fps)
@@ -655,7 +664,8 @@ def _run(args, cfg, pipe, encode, captions, sampler, size, frame_num, steps,
                 steps=steps, shift=args.shift or cfg.sample_shift,
                 seed=args.seed, sampler=sampler,
                 teacache_interval=args.teacache_interval,
-                        teacache_edge=args.teacache_edge)
+                        teacache_edge=args.teacache_edge,
+                        teacache_threshold=args.teacache_threshold)
         with phase("vae_decode"):
             vae_phase()
             video = pipe.decode_auto(first_latents)
@@ -676,7 +686,8 @@ def _run(args, cfg, pipe, encode, captions, sampler, size, frame_num, steps,
                 latents, ctx, steps=steps, shift=args.shift or 7.0,
                 seed=args.seed + s, sampler=sampler,
                 teacache_interval=args.teacache_interval,
-                        teacache_edge=args.teacache_edge)
+                        teacache_edge=args.teacache_edge,
+                        teacache_threshold=args.teacache_threshold)
         with phase("vae_decode"):
             vae_phase()
             tail_video = pipe.decode_auto(latents[:, -cfg.latent_frame_zero:])
