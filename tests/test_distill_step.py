@@ -168,3 +168,63 @@ def test_dino_converter_golden():
     assert len(got) == len(ref)
     for g, r in zip(got, ref):
         np.testing.assert_allclose(np.asarray(g), r, rtol=2e-4, atol=2e-4)
+
+
+def test_t2v_dmd_teacher_rollout():
+    """generate_t2v_dmd runs a cond-only multistep trajectory on swapped
+    teacher params and returns latents (reference t2v_dmd,
+    wan23/textimage2video.py:519-653 — CFG branch commented out there, so
+    cond-only is the faithful behavior)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yume_tpu.configs import CONFIGS, DiTConfig, T5Config, VAEConfig
+    from yume_tpu.pipelines.ti2v import TI2VPipeline
+    from yume_tpu.training.distill import teacher_rollout
+
+    cfg = CONFIGS["ti2v-5B"]()
+    cfg = dataclasses.replace(
+        cfg,
+        dit=DiTConfig(model_type="ti2v", in_dim=8, out_dim=8, dim=64,
+                      ffn_dim=128, freq_dim=32, text_dim=16, text_len=16,
+                      num_heads=4, num_layers=2, framepack=True),
+        vae=VAEConfig(z_dim=8, base_dim=8, dim_mult=(1, 2, 2),
+                      num_res_blocks=1, temporal_downsample=(True, False),
+                      stride=(2, 8, 8), patchify=2),
+        t5=T5Config(vocab_size=128, dim=16, dim_attn=16, dim_ffn=24,
+                    num_heads=2, num_layers=1, text_len=16),
+        latent_frame_zero=2,
+    )
+    pipe = TI2VPipeline.from_config(cfg, jax.random.PRNGKey(0),
+                                    latent_shape=(3, 4, 4),
+                                    dtype=jnp.float32)
+    teacher = TI2VPipeline.from_config(cfg, jax.random.PRNGKey(5),
+                                       latent_shape=(3, 4, 4),
+                                       dtype=jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16))
+
+    for solver in ("unipc", "dpmpp", "euler"):
+        lat = pipe.generate_t2v_dmd(ctx, teacher_params=teacher.dit_params,
+                                    size=(32, 32), frame_num=5, steps=4,
+                                    solver=solver, seed=0)
+        assert lat.shape == (1, 3, 4, 4, 8)
+        assert np.isfinite(np.asarray(lat)).all()
+        # the swap is real: teacher params produce the teacher's trajectory
+        own = pipe.generate_t2v_dmd(ctx, size=(32, 32), frame_num=5,
+                                    steps=4, solver=solver, seed=0)
+        via = teacher.generate_t2v_dmd(ctx, size=(32, 32), frame_num=5,
+                                       steps=4, solver=solver, seed=0)
+        np.testing.assert_allclose(np.asarray(lat), np.asarray(via),
+                                   atol=1e-5, rtol=1e-5)
+        assert np.abs(np.asarray(own) - np.asarray(lat)).max() > 1e-3
+
+    # the distill-side hook returns the same targets
+    t = teacher_rollout(pipe, ctx, teacher.dit_params, size=(32, 32),
+                        frame_num=5, steps=4, solver="unipc", seed=0)
+    ref = pipe.generate_t2v_dmd(ctx, teacher_params=teacher.dit_params,
+                                size=(32, 32), frame_num=5, steps=4,
+                                solver="unipc", seed=0)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(ref), atol=0)

@@ -127,8 +127,18 @@ def test_boundary_semantics_match_reference():
         noise = jnp.zeros((1, 2, 2, 2, 2))
         fn_h = lambda x, s: (picks.append("high"), jnp.zeros_like(x))[1]
         fn_l = lambda x, s: (picks.append("low"), jnp.zeros_like(x))[1]
-        sample_unipc(fn_h, noise, sig, denoise_fn_low=fn_l, boundary=boundary)
+        sample_unipc(fn_h, noise, sig, denoise_fn_low=fn_l, boundary=boundary,
+                     scan=False)
         assert picks == want, (steps, picks, want)
+
+        # the scan path splits the ladder at the boundary (one scan per
+        # expert), so its trace-time pick sequence is the run-length-
+        # compressed per-step sequence — same expert at every sigma
+        want_runs_u = [k for j, k in enumerate(want)
+                       if j == 0 or want[j - 1] != k]
+        picks = []
+        sample_unipc(fn_h, noise, sig, denoise_fn_low=fn_l, boundary=boundary)
+        assert picks == want_runs_u, ("unipc-scan", steps, picks, want_runs_u)
 
         # dpm++ runs one scan per expert segment, so the trace-time pick
         # sequence is the run-length-compressed form of the per-step one
@@ -209,3 +219,24 @@ def test_i2v_dual_ep_matches_dense():
                                  frame_num=5, steps=4, seed=1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=5e-4, rtol=5e-4)
+
+
+@pytest.mark.parametrize("solver", ["unipc", "dpm++"])
+def test_i2v_dual_host_offload_matches_resident(solver):
+    """offload=True (inactive expert parked on host, one device transfer at
+    the boundary — ≙ reference per-step CPU shuttling,
+    wan23/image2video.py:172-204) must reproduce the both-resident dual
+    trajectory exactly: the phase split runs the same ladder steps on the
+    same carry."""
+    pipe, p_high, p_low, ctx, ctx_null, img = _tiny_pipe()
+    want = pipe.generate_i2v_dual(img, ctx, ctx_null, p_high, p_low,
+                                  frame_num=5, steps=4, seed=1,
+                                  solver=solver)
+
+    from yume_tpu.utils.offload import to_host
+
+    got = pipe.generate_i2v_dual(img, ctx, ctx_null, to_host(p_high),
+                                 to_host(p_low), frame_num=5, steps=4,
+                                 seed=1, solver=solver, offload=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)

@@ -173,3 +173,58 @@ def test_quantize_host_blocks_matches_device_path(rng_np):
     d = np_.asarray(dense)
     rel = np_.linalg.norm(np_.asarray(out) - d) / np_.linalg.norm(d)
     assert rel < 0.12, rel  # bf16 cast + int4 storage error only
+
+
+def test_multistep_on_quantized_trunk(rng_np):
+    """UniPC/DPM++ solvers on the quantized (stack-only, bits=16) trunk
+    reproduce the bf16-trunk trajectory exactly — the 14B quality-serving
+    path (UniPC at 8-16 steps instead of 50 Euler) over the single-scan
+    trunk (reference wan/utils/fm_solvers_unipc.py driven by
+    wan23/textimage2video.py:583-610)."""
+    import dataclasses
+
+    from yume_tpu.configs import (CONFIGS, T5Config, VAEConfig)
+    from yume_tpu.pipelines.ti2v import TI2VPipeline
+
+    cfg = CONFIGS["ti2v-5B"]()
+    cfg = dataclasses.replace(
+        cfg,
+        dit=DiTConfig(model_type="ti2v", in_dim=8, out_dim=8, dim=64,
+                      ffn_dim=128, freq_dim=32, text_dim=16, text_len=16,
+                      num_heads=4, num_layers=2, framepack=True),
+        vae=VAEConfig(z_dim=8, base_dim=8, dim_mult=(1, 2, 2),
+                      num_res_blocks=1, temporal_downsample=(True, False),
+                      stride=(2, 8, 8), patchify=2),
+        t5=T5Config(vocab_size=128, dim=16, dim_attn=16, dim_ffn=24,
+                    num_heads=2, num_layers=1, text_len=16),
+        latent_frame_zero=2,
+    )
+    pipe = TI2VPipeline.from_config(cfg, jax.random.PRNGKey(0),
+                                    latent_shape=(3, 4, 4),
+                                    dtype=jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16))
+    ctx_null = 0.5 * ctx
+    for solver in ("unipc", "dpmpp"):
+        want = pipe.generate_t2v(ctx, ctx_null=ctx_null, size=(32, 32),
+                                 frame_num=5, steps=4, solver=solver,
+                                 seed=0, return_latents=True)
+        qpipe = TI2VPipeline.from_config(cfg, jax.random.PRNGKey(0),
+                                         latent_shape=(3, 4, 4),
+                                         dtype=jnp.float32)
+        qpipe.quantize_int8(bits=16)  # stack-only: exact scan parity
+        assert isinstance(qpipe.dit_params, tuple)
+        got = qpipe.generate_t2v(ctx, ctx_null=ctx_null, size=(32, 32),
+                                 frame_num=5, steps=4, solver=solver,
+                                 seed=0, return_latents=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=2e-4)
+
+    # int8 quantization: same trajectory within weight-quant noise
+    qpipe = TI2VPipeline.from_config(cfg, jax.random.PRNGKey(0),
+                                     latent_shape=(3, 4, 4),
+                                     dtype=jnp.float32)
+    qpipe.quantize_int8(bits=8)
+    got = qpipe.generate_t2v(ctx, ctx_null=ctx_null, size=(32, 32),
+                             frame_num=5, steps=4, solver="unipc",
+                             seed=0, return_latents=True)
+    assert np.isfinite(np.asarray(got)).all()

@@ -124,8 +124,11 @@ def test_unipc_matches_reference_scheduler(order, corrector):
 
     jax.config.update("jax_enable_x64", True)
     try:
+        # scan=False: the oracle denoise is a host-side numpy fn that
+        # needs concrete sigmas (the scan path is pinned against this
+        # unrolled one in test_unipc_scan_matches_unrolled)
         got = sample_unipc(denoise, jnp.asarray(noise, jnp.float64), sig,
-                           order=order, use_corrector=corrector)
+                           order=order, use_corrector=corrector, scan=False)
     finally:
         jax.config.update("jax_enable_x64", False)
     # the oracle computes its phi/lambda terms in float32 (its sigma
@@ -133,3 +136,33 @@ def test_unipc_matches_reference_scheduler(order, corrector):
     # order-2 vs order-3 trajectories differ by >1e-3, so this still
     # pins the solver order and corrector wiring exactly
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("order,corrector", [(2, True), (3, True), (2, False)])
+def test_unipc_scan_matches_unrolled(order, corrector):
+    """The lax.scan UniPC (single model trace — what the scanned quantized
+    14B trunk needs) is the SAME recurrence as the unrolled variant the
+    reference-golden test validates: exact x64 parity."""
+    import jax
+
+    from yume_tpu.diffusion.multistep import sample_unipc
+    from yume_tpu.diffusion.schedule import unipc_sigmas
+
+    rng = np.random.default_rng(1)
+    noise = rng.standard_normal((1, 4, 6)).astype(np.float64)
+    w = jnp.asarray(rng.standard_normal((6, 6)) * 0.3)
+
+    def denoise(x, s):
+        return jnp.tanh(x @ w) + 0.1 * s[0]
+
+    sig = unipc_sigmas(9, 4.0)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        a = sample_unipc(denoise, jnp.asarray(noise), sig, order=order,
+                         use_corrector=corrector, scan=True)
+        b = sample_unipc(denoise, jnp.asarray(noise), sig, order=order,
+                         use_corrector=corrector, scan=False)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-12, rtol=1e-12)

@@ -70,7 +70,10 @@ def sample_dpmpp_2m(
     *,
     denoise_fn_low: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
     boundary: float | None = None,
-) -> jax.Array:
+    step_range: tuple | None = None,
+    init_carry: "MultistepCarry | None" = None,
+    return_carry: bool = False,
+):
     """Full DPM-Solver++(2M) trajectory over a descending sigma ladder
     (last entry 0). ``denoise_fn(x, sigma[B]) -> velocity``.
 
@@ -80,7 +83,14 @@ def sample_dpmpp_2m(
     ``denoise_fn`` (the high-noise expert) and the rest ``denoise_fn_low``
     — the sigma ladder is static so the split is trace-time, and the 2M
     history carry crosses the boundary exactly like the reference's
-    scheduler state survives its model swap."""
+    scheduler state survives its model swap.
+
+    Phase-split execution (single-chip expert HOST OFFLOAD, reference's
+    per-step CPU shuttling wan23/image2video.py:172-204): ``step_range``
+    =(lo, hi) runs only those ladder steps; ``init_carry`` resumes from a
+    previous phase's carry and ``return_carry=True`` returns the
+    :class:`MultistepCarry` instead of x — so each expert's phase can run
+    as its own program with only that expert resident in HBM."""
     b = noise.shape[0]
     sig_np = np.asarray(sigmas, np.float32)
     sig = jnp.asarray(sig_np)
@@ -98,10 +108,15 @@ def sample_dpmpp_2m(
             return MultistepCarry(x_next, x0, jnp.array(True)), None
         return step
 
-    carry = MultistepCarry(noise, jnp.zeros_like(noise), jnp.array(False))
+    carry = (MultistepCarry(noise, jnp.zeros_like(noise), jnp.array(False))
+             if init_carry is None else init_carry)
+    if step_range is not None:
+        lo, hi = step_range
+        carry, _ = jax.lax.scan(mk_step(denoise_fn), carry, trips[lo:hi])
+        return carry if return_carry else carry.x
     if denoise_fn_low is None:
         carry, _ = jax.lax.scan(mk_step(denoise_fn), carry, trips)
-        return carry.x
+        return carry if return_carry else carry.x
     if boundary is None:
         raise ValueError("denoise_fn_low requires an explicit boundary "
                          "(the expert-switch sigma)")
@@ -154,7 +169,11 @@ def sample_unipc(
     use_corrector: bool = True,
     denoise_fn_low: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
     boundary: float | None = None,
-) -> jax.Array:
+    scan: bool = True,
+    step_range: tuple | None = None,
+    init_carry: tuple | None = None,
+    return_carry: bool = False,
+):
     """UniPC multistep sampling at any order with the UniC corrector —
     faithful to the reference FlowUniPCMultistepScheduler
     (wan/utils/fm_solvers_unipc.py:350-739, predict_x0=True,
@@ -173,69 +192,130 @@ def sample_unipc(
                          "(the expert-switch sigma)")
     n_steps = len(sig) - 1
     b = noise.shape[0]
-    x = noise
-    model_outputs: list = []   # converted x0 predictions, most recent last
-    out_sigmas: list = []      # their sigmas
-    last_sample = None
+
+    # ---- trace-time coefficient tables ----------------------------------
+    # Every coefficient depends only on the (static) sigma ladder, so the
+    # whole UniP/UniC recurrence compiles as ONE lax.scan whose body traces
+    # the model trunk once — this is what lets the scanned quantized 14B
+    # trunk run under multistep solvers (multiple unrolled model calls each
+    # closing over the multi-GiB weight stacks made XLA copy them per call;
+    # the round-2 compile lesson).
+    K = max(order - 1, 1)  # padded history-coefficient width
+    tab = {k: np.zeros(n_steps) for k in
+           ("s0", "use_c", "c_ratio", "c_ah", "c_last", "p_ratio", "p_ah")}
+    tab["c_hist"] = np.zeros((n_steps, K))
+    tab["p_hist"] = np.zeros((n_steps, K))
+    out_sigmas: list = []
     prev_order = 0
     lower_order_nums = 0
-
     for i in range(n_steps):
-        s0 = sig[i]
-        # dual-expert boundary switch (trace-time: the ladder is static;
-        # ≙ reference _prepare_model_for_timestep, wan23/image2video.py:
-        # 172-204 — t.item() >= boundary·1000 picks the high-noise expert)
-        fn = denoise_fn
-        if denoise_fn_low is not None and s0 < boundary:
-            fn = denoise_fn_low
-        v = fn(x, jnp.full((b,), s0, noise.dtype))
-        m = x - s0 * v  # flow velocity → data prediction (:306-312)
-
-        if use_corrector and i > 0 and last_sample is not None:
+        s0, st_next = sig[i], sig[i + 1]
+        tab["s0"][i] = s0
+        if use_corrector and i > 0:
             oc = prev_order
-            st, ss0 = sig[i], sig[i - 1]
+            ss0 = sig[i - 1]
             hist = [out_sigmas[-(j + 1)] for j in range(1, oc)]
             h_phi_1, B_h, rks, R, bvec = _unipc_coeffs(
-                ss0, st, hist, oc, solver_type)
+                ss0, s0, hist, oc, solver_type)
             rhos_c = (np.asarray([0.5]) if oc == 1
                       else np.linalg.solve(R, bvec))
-            m0 = model_outputs[-1]
-            corr = 0.0
+            alpha_t = 1.0 - s0
+            tab["use_c"][i] = 1.0
+            tab["c_ratio"][i] = s0 / ss0
+            tab["c_ah"][i] = alpha_t * h_phi_1
             for j in range(1, oc):
-                corr = corr + float(rhos_c[j - 1]) * \
-                    (model_outputs[-(j + 1)] - m0) / float(rks[j - 1])
-            alpha_t = 1.0 - st
-            x_ = (st / ss0) * last_sample - alpha_t * h_phi_1 * m0
-            x = x_ - alpha_t * B_h * (corr + float(rhos_c[-1]) * (m - m0))
-            # NOTE: the stored conversion `m` stays the PRE-correction one
-            # (reference step(), fm_solvers_unipc.py:699-709)
-
-        model_outputs.append(m)
+                tab["c_hist"][i, j - 1] = (alpha_t * B_h
+                                           * float(rhos_c[j - 1])
+                                           / float(rks[j - 1]))
+            tab["c_last"][i] = alpha_t * B_h * float(rhos_c[-1])
         out_sigmas.append(s0)
-        if len(model_outputs) > order:
-            model_outputs.pop(0)
+        if len(out_sigmas) > order:
             out_sigmas.pop(0)
-
         this_order = min(order, n_steps - i) if lower_order_final else order
         this_order = min(this_order, lower_order_nums + 1)
-        last_sample = x
-
-        st = sig[i + 1]
         hist = [out_sigmas[-(j + 1)] for j in range(1, this_order)]
         h_phi_1, B_h, rks, R, bvec = _unipc_coeffs(
-            s0, st, hist, this_order, solver_type)
-        m0 = model_outputs[-1]
-        alpha_t = 1.0 - st
-        x = (st / s0) * last_sample - alpha_t * h_phi_1 * m0
+            s0, st_next, hist, this_order, solver_type)
+        alpha_t = 1.0 - st_next
+        tab["p_ratio"][i] = st_next / s0
+        tab["p_ah"][i] = alpha_t * h_phi_1
         if this_order > 1:
             rhos_p = (np.asarray([0.5]) if this_order == 2
                       else np.linalg.solve(R[:-1, :-1], bvec[:-1]))
-            pred = 0.0
             for j in range(1, this_order):
-                pred = pred + float(rhos_p[j - 1]) * \
-                    (model_outputs[-(j + 1)] - m0) / float(rks[j - 1])
-            x = x - alpha_t * B_h * pred
-
+                tab["p_hist"][i, j - 1] = (alpha_t * B_h
+                                           * float(rhos_p[j - 1])
+                                           / float(rks[j - 1]))
         lower_order_nums = min(lower_order_nums + 1, order)
         prev_order = this_order
-    return x
+    xs = {k: jnp.asarray(v, jnp.float32) for k, v in tab.items()}
+
+    # ---- the scan: fixed-size history ring, coefficient-masked math -----
+    # hist[0] is the most recent x0 prediction; unused slots hold zeros and
+    # are multiplied by zero coefficients (exact, not approximate).
+    H = max(order, 2)
+
+    def mk_body(fn):
+        def body(carry, cs):
+            x, last_sample, hist = carry
+            v = fn(x, jnp.full((b,), 1.0, noise.dtype) * cs["s0"])
+            m = x - cs["s0"] * v  # flow velocity → x0 prediction (:306-312)
+
+            # UniC: correct the previous predictor step with the NEW m
+            # (the stored conversion stays PRE-correction, reference
+            # step(), fm_solvers_unipc.py:699-709)
+            m0 = hist[0]
+            diffs = hist[1:1 + K] - m0[None]
+            corr = jnp.einsum("k,k...->...", cs["c_hist"], diffs)
+            x_c = (cs["c_ratio"] * last_sample - cs["c_ah"] * m0
+                   - (corr + cs["c_last"] * (m - m0)))
+            x = jnp.where(cs["use_c"] > 0, x_c, x)
+
+            hist = jnp.concatenate([m[None], hist[:-1]], axis=0)
+            last_sample = x
+            diffs = hist[1:1 + K] - m[None]
+            pred = jnp.einsum("k,k...->...", cs["p_hist"], diffs)
+            x = cs["p_ratio"] * x - cs["p_ah"] * m - pred
+            return (x, last_sample, hist), None
+        return body
+
+    hist0 = jnp.zeros((H,) + noise.shape, noise.dtype)
+    carry = ((noise, jnp.zeros_like(noise), hist0)
+             if init_carry is None else init_carry)
+
+    if step_range is not None:
+        # phase-split execution (expert host offload — see sample_dpmpp_2m):
+        # run only ladder steps [lo, hi) with denoise_fn, optionally
+        # resuming/returning the (x, last_sample, hist) carry
+        lo, hi = step_range
+        take = {k: v[lo:hi] for k, v in xs.items()}
+        carry, _ = jax.lax.scan(mk_body(denoise_fn), carry, take)
+        return carry if return_carry else carry[0]
+
+    if not scan:
+        # unrolled variant: one fn call per step with a CONCRETE sigma —
+        # required when denoise_fn is a host-side oracle (golden tests) or
+        # per-step tracing must stay observable. Same body, same math.
+        for i in range(n_steps):
+            fn = denoise_fn
+            if denoise_fn_low is not None and sig[i] < boundary:
+                fn = denoise_fn_low
+            cs = {k: (jnp.asarray(v[i]) if v.ndim == 1
+                      else jnp.asarray(v[i])) for k, v in xs.items()}
+            carry, _ = mk_body(fn)(carry, cs)
+        return carry[0]
+
+    if denoise_fn_low is None:
+        (x, _, _), _ = jax.lax.scan(mk_body(denoise_fn), carry, xs)
+        return x
+    # dual-expert boundary switch (trace-time prefix split on the static
+    # ladder; ≙ reference _prepare_model_for_timestep, wan23/image2video.py:
+    # 172-204 — the scheduler state crosses the expert swap intact)
+    split = int(np.sum(np.asarray(sig[:-1]) >= boundary))
+    take = lambda lo, hi: {k: v[lo:hi] for k, v in xs.items()}
+    if split:
+        carry, _ = jax.lax.scan(mk_body(denoise_fn), carry, take(0, split))
+    if split < n_steps:
+        carry, _ = jax.lax.scan(mk_body(denoise_fn_low), carry,
+                                take(split, n_steps))
+    return carry[0]

@@ -75,18 +75,29 @@ _FUSED_BM, _FUSED_BN, _FUSED_BK = 512, 1024, 1024
 _FUSED_MIN_K = 8192
 
 
+def _fused_bk(k_dim: int):
+    """Largest supported k-block dividing the contraction: the 14B ffn
+    (13824 = 27·512) doesn't divide the 5B-tuned 1024, so the block adapts
+    rather than falling back to the slower XLA round-trip path."""
+    for bk in (_FUSED_BK, 512, 256):
+        if k_dim % bk == 0:
+            return bk
+    return 0
+
+
 def _fused_q8_matmul_2d(x2, a_scale, qw, w_scale, out_dtype):
     m, k = x2.shape
     _, n = qw.shape
-    nk = k // _FUSED_BK
+    bk = _fused_bk(k)
+    nk = k // bk
     grid = (pl.cdiv(m, _FUSED_BM), pl.cdiv(n, _FUSED_BN), nk)
     return pl.pallas_call(
         functools.partial(_fused_kernel, nk=nk),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_FUSED_BM, _FUSED_BK), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((_FUSED_BM, bk), lambda i, j, kk: (i, kk)),
             pl.BlockSpec((_FUSED_BM, 1), lambda i, j, kk: (i, 0)),
-            pl.BlockSpec((_FUSED_BK, _FUSED_BN), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((bk, _FUSED_BN), lambda i, j, kk: (kk, j)),
             pl.BlockSpec((1, _FUSED_BN), lambda i, j, kk: (0, j)),
         ],
         out_specs=pl.BlockSpec((_FUSED_BM, _FUSED_BN),
@@ -122,7 +133,7 @@ def q8_dot(x, w: Q8, dtype=None):
                           1e-8) / 127.0
     k_dim, n_dim = w.q.shape[-2], w.q.shape[-1]
     if (jax.default_backend() == "tpu" and w.q.ndim == 2
-            and k_dim >= _FUSED_MIN_K and k_dim % _FUSED_BK == 0
+            and k_dim >= _FUSED_MIN_K and _fused_bk(k_dim)
             and n_dim % 128 == 0):
         x2 = x.reshape(-1, k_dim)
         out = _fused_q8_matmul_2d(
@@ -165,7 +176,7 @@ def int8_dot_general(lhs, rhs, dimension_numbers, precision=None,
     qw = jnp.clip(jnp.round(w / w_scale), -127, 127).astype(jnp.int8)
     k_dim, n_dim = qw.shape
     if (jax.default_backend() == "tpu" and k_dim >= _FUSED_MIN_K
-            and k_dim % _FUSED_BK == 0 and n_dim % 128 == 0):
+            and _fused_bk(k_dim) and n_dim % 128 == 0):
         out = _fused_q8_matmul_2d(
             lhs.reshape(-1, k_dim), a_scale.reshape(-1, 1), qw,
             w_scale.reshape(1, n_dim), out_dtype)

@@ -181,6 +181,20 @@ class TI2VPipeline:
             t_frame = jnp.broadcast_to(sigma[:, None] * 1000.0, (b, f))
 
             def fwd(c):
+                if isinstance(params, tuple):  # quantized trunk (int8/int4)
+                    from ..models.quantized import int8_dit_apply
+
+                    return int8_dit_apply(
+                        self.dit, params[0], params[1],
+                        x.astype(jnp.bfloat16), t_frame, c, packed=False,
+                        attn_impl=self.attn_impl).astype(x.dtype)
+                if type(params).__name__ == "PPParams":  # pipeline parallel
+                    from ..parallel.pipeline import pp_dit_apply
+
+                    return pp_dit_apply(
+                        self.dit, params.other, params.staged, params.mesh,
+                        x.astype(jnp.bfloat16), t_frame, c, packed=False,
+                        attn_impl=self.attn_impl).astype(x.dtype)
                 return self.dit.apply(
                     params, x.astype(jnp.bfloat16), t_frame, c,
                     packed=False, attn_impl=self.attn_impl,
@@ -512,6 +526,89 @@ class TI2VPipeline:
         return sampler[solver](fn_high, noise, sig,
                                denoise_fn_low=fn_low, boundary=boundary)
 
+    @functools.partial(jax.jit,
+                       static_argnums=(0, 5, 6, 7, 8, 9, 10, 11))
+    def _dual_phase(self, params, carry, y, ctx2, steps, shift, gs, solver,
+                    lo, hi, return_carry):
+        """One expert's phase of the dual-expert ladder: steps [lo, hi) on
+        ``params`` only — the building block of host-offload serving (the
+        other expert is NOT an argument, so only this expert's weights are
+        resident while the program runs)."""
+        from ..diffusion.multistep import sample_dpmpp_2m, sample_unipc
+
+        sig = sampling_sigmas(steps, shift)
+        x0 = carry[0] if isinstance(carry, tuple) else carry.x
+        b, f_lat = x0.shape[:2]
+
+        def denoise(latent, sig_b):
+            xin = jnp.concatenate([latent, y.astype(latent.dtype)], axis=-1)
+            x2 = jnp.concatenate([xin, xin], axis=0).astype(jnp.bfloat16)
+            t2 = jnp.broadcast_to((sig_b[0] * 1000.0)[None, None],
+                                  (2 * b, f_lat))
+            v2 = self.dit.apply(params, x2, t2, ctx2, packed=False,
+                                attn_impl=self.attn_impl).astype(latent.dtype)
+            v_c, v_n = v2[:b], v2[b:]
+            return v_n + gs * (v_c - v_n)
+
+        if solver == "unipc":
+            return sample_unipc(denoise, x0, sig, step_range=(lo, hi),
+                                init_carry=carry, return_carry=return_carry)
+        return sample_dpmpp_2m(denoise, x0, sig, step_range=(lo, hi),
+                               init_carry=carry, return_carry=return_carry)
+
+    def _i2v_dual_offload(self, params_high, params_low, noise, y, ctx,
+                          ctx_null, steps, shift, boundary, guide_scale,
+                          solver):
+        """Single-chip dual-expert serving with the inactive expert parked
+        on host (reference per-step CPU shuttling,
+        wan23/image2video.py:172-204 — here ONE transfer per segment, not
+        per step: the descending ladder switches experts exactly once).
+        Pass HOST (numpy) expert trees to actually save HBM; device trees
+        still work but stay resident."""
+        import numpy as _np
+
+        from ..diffusion.multistep import MultistepCarry
+        from ..utils.offload import to_device
+
+        sig = _np.asarray(sampling_sigmas(steps, shift))
+        n_steps = len(sig) - 1
+        split = int(_np.sum(sig[:-1] >= boundary))
+        ctx2 = jnp.concatenate([ctx, ctx_null], axis=0)
+        if solver == "unipc":
+            carry = (noise, jnp.zeros_like(noise),
+                     jnp.zeros((2,) + noise.shape, noise.dtype))
+        elif solver == "dpm++":
+            carry = MultistepCarry(noise, jnp.zeros_like(noise),
+                                   jnp.array(False))
+        else:
+            raise NotImplementedError(
+                f"unsupported solver {solver!r} (reference WanI2V supports "
+                "unipc/dpm++, wan23/image2video.py:344-363)")
+
+        def _put(tree):
+            host = any(isinstance(l, _np.ndarray)
+                       for l in jax.tree_util.tree_leaves(tree)[:1])
+            return to_device(tree) if host else tree
+
+        if split:
+            p = _put(params_high)
+            out = self._dual_phase(p, carry, y, ctx2, steps, shift,
+                                   guide_scale[1], solver, 0, split,
+                                   split < n_steps)
+            if split >= n_steps:
+                return out
+            carry = out
+            # materialize the carry BEFORE freeing the high expert and
+            # loading the low one — async dispatch would otherwise allocate
+            # both experts at once (the OOM this mode exists to avoid)
+            _ = float(jnp.sum(carry[0] if isinstance(carry, tuple)
+                              else carry.x))
+            del p, out
+        p = _put(params_low)
+        return self._dual_phase(p, carry, y, ctx2, steps, shift,
+                                guide_scale[0], solver, split, n_steps,
+                                False)
+
     def generate_i2v_dual(
         self,
         img: jax.Array,
@@ -527,6 +624,7 @@ class TI2VPipeline:
         guide_scale: Tuple[float, float] = (3.5, 3.5),
         seed: int = 0,
         solver: str = "unipc",
+        offload: bool = False,
     ):
         """The stock ``WanI2V.generate`` (reference wan23/image2video.py:
         206-431): first-frame image conditioning (msk ++ VAE(y) channel
@@ -561,9 +659,14 @@ class TI2VPipeline:
         noise = jax.random.normal(
             jax.random.PRNGKey(seed), (b, f_lat, lat_h, lat_w, cfgv.z_dim),
             jnp.float32)
-        latent = self._sample_i2v_dual(
-            params_high, params_low, noise, y, ctx, ctx_null, steps, shift,
-            float(boundary), tuple(guide_scale), solver)
+        if offload:
+            latent = self._i2v_dual_offload(
+                params_high, params_low, noise, y, ctx, ctx_null, steps,
+                shift, float(boundary), tuple(guide_scale), solver)
+        else:
+            latent = self._sample_i2v_dual(
+                params_high, params_low, noise, y, ctx, ctx_null, steps,
+                shift, float(boundary), tuple(guide_scale), solver)
         return self.decode_auto(latent)
 
     def encode_auto(self, video):
@@ -659,12 +762,6 @@ class TI2VPipeline:
                 jax.random.PRNGKey(seed),
                 (ctx.shape[0], f_lat, h_lat, w_lat, cfgv.z_dim), jnp.float32,
             )
-        _special = (isinstance(self.dit_params, tuple)
-                    or type(self.dit_params).__name__ == "PPParams")
-        if _special and solver != "euler":
-            raise NotImplementedError(
-                "quantized t2v supports the euler solver; multistep solvers "
-                "need the bf16 trunk")
         if solver == "euler":
             latent = self._sample_t2v(self.dit_params, noise, ctx, None,
                                       steps, shift)
@@ -672,6 +769,46 @@ class TI2VPipeline:
             latent = self._sample_t2v_multistep(
                 self.dit_params, noise, ctx, ctx_null, steps, shift, solver,
                 guide_scale)
+        if return_latents:
+            return latent
+        return self.decode_auto(latent)
+
+    def generate_t2v_dmd(
+        self,
+        ctx: jax.Array,
+        *,
+        teacher_params: Any = None,
+        size: Tuple[int, int] = (1280, 704),
+        frame_num: int = 81,
+        steps: int = 8,
+        shift: float = 5.0,
+        solver: str = "unipc",
+        seed: int = 0,
+        noise: Optional[jax.Array] = None,
+        return_latents: bool = True,
+    ) -> jax.Array:
+        """DMD teacher rollout (reference `t2v_dmd`,
+        wan23/textimage2video.py:519-653): a COND-ONLY few-step multistep
+        trajectory run on ``teacher_params`` — the reference swaps in a
+        ``teacher_transformer`` and leaves the CFG branch commented out
+        (:637-643), so guidance is baked into the teacher. Returns LATENTS
+        by default (the rollout feeds distillation targets,
+        training/distill.py::teacher_rollout). ``solver``:
+        'unipc' | 'dpmpp' | 'euler' (:584-608)."""
+        params = self.dit_params if teacher_params is None else teacher_params
+        cfgv = self.config.vae
+        f_lat = (frame_num - 1) // cfgv.stride[0] + 1
+        h_lat = size[1] // cfgv.stride[1]
+        w_lat = size[0] // cfgv.stride[2]
+        if noise is None:
+            noise = jax.random.normal(
+                jax.random.PRNGKey(seed),
+                (ctx.shape[0], f_lat, h_lat, w_lat, cfgv.z_dim), jnp.float32)
+        if solver == "euler":
+            latent = self._sample_t2v(params, noise, ctx, None, steps, shift)
+        else:
+            latent = self._sample_t2v_multistep(
+                params, noise, ctx, None, steps, shift, solver, 1.0)
         if return_latents:
             return latent
         return self.decode_auto(latent)

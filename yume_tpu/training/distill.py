@@ -185,3 +185,26 @@ def generator_gan_term(
         fake_tail,
     )
     return weight * gan_g_loss(pf, pff)
+
+
+def teacher_rollout(
+    pipe,
+    ctx: jax.Array,
+    teacher_params: Any,
+    *,
+    size: Tuple[int, int] = (1280, 704),
+    frame_num: int = 81,
+    steps: int = 8,
+    shift: float = 5.0,
+    solver: str = "unipc",
+    seed: int = 0,
+) -> jax.Array:
+    """Teacher-latent targets for distillation: a cond-only multistep
+    rollout on the frozen teacher trunk (reference `t2v_dmd` with
+    ``teacher_transformer``, wan23/textimage2video.py:519-653). The student
+    trains against these latents (DMD-style regression / ADD real branch)
+    instead of dataset latents."""
+    return pipe.generate_t2v_dmd(
+        ctx, teacher_params=teacher_params, size=size, frame_num=frame_num,
+        steps=steps, shift=shift, solver=solver, seed=seed,
+        return_latents=True)
