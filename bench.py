@@ -10,15 +10,20 @@ of the 8-latent-frame tail**, both measured post-compile on-chip (the
 reference times its whole sample_one including decode,
 fastvideo/sample/sample.py:763-832).
 
-The HEADLINE is the repo's best-serving configuration — TeaCache
-interval-3 block-residual caching (1 full : 2 cached steps), the config
-the sample CLI/webapp actually serve with (``--teacache``), quality-gated
-on-chip by tests_tpu/test_quality_gate.py (8-layer proxy: 39.6 dB latent
-PSNR) and anchored at the real 5B depth by
-tests_tpu/test_quality_gate_fullscale.py (28.4 dB with random weights — a
-pessimistic bound; see BASELINE.md round 4c for why the trained-weight
-value lies between the two). The plain bf16 step and the
-W8A8(+TeaCache) variants are measured live and reported in ``detail``
+The HEADLINE is the repo's best-serving configuration — W8A8 int8-MXU
+matmuls + ADAPTIVE TeaCache (rel-L1 threshold 0.1: the full DiT runs when
+the accumulated input delta crosses the threshold, cached-middle blocks
+otherwise), the config the sample CLI serves with
+(``--teacache --teacache_threshold 0.1 --w8a8``). Quality-anchored at the
+REAL 5B width/depth AND the real 50-step ladder by
+tests_tpu/test_quality_gate_fullscale.py + the round-5 sweep
+(docs/PERF.md): **37.8 dB latent PSNR at 50 steps with random weights — a
+pessimistic bound — vs the ≥35 dB north-star bar**, with only 8/50 full
+steps (fixed interval-3 needs 17/50 for 37.0 dB; at a matched 4-full-step
+budget the adaptive schedule wins by ~10 dB). The adaptive denoise is
+measured END-TO-END through the real sampler (its full-step count is
+data-dependent — reported as ``adaptive_full_steps``); the bf16 step and
+fixed-interval variants are measured live in ``detail``
 (sec_denoise_bf16 is the honest uncached number).
 
 ``detail`` also carries the 14B flagship serving story (reference
@@ -159,23 +164,56 @@ def bench_5b_denoise(steps=50):
 
     dt_w8a8_cached = _timeit(step_w8a8_cached, params, x, t, ctx, cache)
 
-    _free((params, x, ctx, cache))
+    _free((x, cache))
 
-    # best-serving composition: TeaCache interval 3 → 1 full : 2 cached.
-    # Both --teacache (bf16) and --teacache --w8a8 pass the on-chip quality
-    # gate at the same 36 dB floor (TeaCache error dominates the
-    # composition; tests_tpu/test_quality_gate.py) — headline the faster.
+    # ---- the HEADLINE serving config: W8A8 + ADAPTIVE TeaCache ----------
+    # (threshold 0.1 rel-L1 refresh — full-scale 50-step quality anchor
+    # 37.8 dB at 8/50 full steps, ≥ the 35 dB bar; docs/PERF.md round-5
+    # sweep). The realized full-step count is DATA-DEPENDENT, so the
+    # 50-step denoise is measured end-to-end through the real sampler, not
+    # composed from per-step times.
+    from yume_tpu.pipelines.ti2v import TI2VPipeline
+
+    hist = jax.random.normal(jax.random.PRNGKey(7),
+                             (1, f_hist, h_lat, w_lat, cfg.dit.in_dim),
+                             jnp.float32)
+    ctx32 = ctx.astype(jnp.float32)
+
+    def run_adaptive(pipe_):
+        out = pipe_.generate_segment(hist, ctx32, steps=steps, shift=7.0,
+                                     sampler="teacache",
+                                     teacache_threshold=0.1)
+        _ = float(out.sum())
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = pipe_.generate_segment(hist, ctx32, steps=steps, shift=7.0,
+                                         sampler="teacache",
+                                         teacache_threshold=0.1)
+            _ = float(out.sum())
+            ts.append(time.perf_counter() - t0)
+        return min(ts), int(pipe_.last_teacache_n_full)
+
+    pipe_w8 = TI2VPipeline(config=dataclasses.replace(cfg, dit=dit_q.cfg),
+                           dit=dit_q, dit_params=params, vae=None,
+                           vae_params=None, t5=None, t5_params=None)
+    clip_adaptive_w8, n_full_adaptive = run_adaptive(pipe_w8)
+    _free((params, ctx))
+
+    # fixed-interval compositions (deterministic step budget), composed
+    # from per-step times: 1 full : 2 cached at interval 3
     n_full = -(-steps // 3)
     clip_tc = n_full * dt_full_capture + (steps - n_full) * dt_cached
     clip_bf16 = dt * steps
     clip_w8a8_tc = n_full * dt_w8a8_capture + (steps - n_full) * dt_w8a8_cached
-    clip_best = min(clip_tc, clip_w8a8_tc)
-    best_cfg = ("teacache_interval3_bf16" if clip_best == clip_tc
-                else "teacache_interval3_w8a8")
+    clip_best = clip_adaptive_w8
+    best_cfg = "teacache_adaptive0.1_w8a8"
     return {
         "serving_config": best_cfg,
         "sec_denoise_best": round(clip_best, 3),
         "sec_denoise_bf16": round(clip_bf16, 3),
+        "sec_denoise_adaptive_w8a8": round(clip_adaptive_w8, 3),
+        "adaptive_full_steps": n_full_adaptive,
         "sec_denoise_teacache_bf16": round(clip_tc, 3),
         "sec_denoise_w8a8_teacache": round(clip_w8a8_tc, 3),
         "dit_step_ms": round(dt * 1000, 2),

@@ -42,7 +42,7 @@ def _psnr(ref, got):
     return 10.0 * np.log10(rng_pp ** 2 / max(mse, 1e-12))
 
 
-def part_quality(grid):
+def part_quality(grid, steps=STEPS):
     from yume_tpu.configs import ti2v_5b
     from yume_tpu.models.dit import WanDiT
     from yume_tpu.pipelines.ti2v import TI2VPipeline
@@ -69,23 +69,23 @@ def part_quality(grid):
         jax.random.PRNGKey(2),
         (1, cfg.dit.text_len, cfg.dit.text_dim), jnp.float32) * 0.2
     ref = np.asarray(pipe.generate_segment(
-        hist, ctx, steps=STEPS, shift=7.0, sampler="euler")[:, -LFZ:],
+        hist, ctx, steps=steps, shift=7.0, sampler="euler")[:, -LFZ:],
         np.float32)
-    print("bf16 euler reference done")
+    print(f"bf16 euler reference done ({steps} steps)")
     sys.stdout.flush()
 
     for spec, edge in grid:
         if isinstance(spec, float):  # adaptive threshold entry ("t0.15x7")
             got = pipe.generate_segment(
-                hist, ctx, steps=STEPS, shift=7.0, sampler="teacache",
+                hist, ctx, steps=steps, shift=7.0, sampler="teacache",
                 teacache_edge=edge, teacache_threshold=spec)
             n_full = int(pipe.last_teacache_n_full)
             p = _psnr(ref, np.asarray(got[:, -LFZ:], np.float32))
             print(f"threshold={spec} edge={edge}: {p:.1f} dB "
-                  f"(n_full {n_full}/{STEPS})")
+                  f"(n_full {n_full}/{steps})")
         else:
             got = pipe.generate_segment(
-                hist, ctx, steps=STEPS, shift=7.0, sampler="teacache",
+                hist, ctx, steps=steps, shift=7.0, sampler="teacache",
                 teacache_interval=spec, teacache_edge=edge)
             p = _psnr(ref, np.asarray(got[:, -LFZ:], np.float32))
             print(f"interval={spec} edge={edge}: {p:.1f} dB")
@@ -172,12 +172,15 @@ def main():
                     help="quality part: interval×edge pairs; prefix 't' "
                          "for adaptive thresholds (t0.15x7)")
     ap.add_argument("--edges", default="7,5,3,1")
+    ap.add_argument("--steps", type=int, default=STEPS,
+                    help="quality part: denoise steps (50 = bench headline)")
     args = ap.parse_args()
     if args.part == "quality":
         def _spec(tok):
             a, b = tok.split("x")
             return (float(a[1:]) if a.startswith("t") else int(a), int(b))
-        part_quality([_spec(tok) for tok in args.grid.split(",")])
+        part_quality([_spec(tok) for tok in args.grid.split(",")],
+                     steps=args.steps)
     else:
         part_speed([int(v) for v in args.edges.split(",")])
 

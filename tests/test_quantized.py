@@ -228,3 +228,54 @@ def test_multistep_on_quantized_trunk(rng_np):
                              frame_num=5, steps=4, solver="unipc",
                              seed=0, return_latents=True)
     assert np.isfinite(np.asarray(got)).all()
+
+
+def test_q4_dot_matches_group_dequant(rng_np):
+    """The W4A8 direct path (q4_dot jnp oracle) ≈ dequantize-then-matmul
+    within activation-quantization noise, and is EXACT when activations are
+    already scaled int multiples."""
+    from yume_tpu.models.quantized import _quantize_leaf4
+    from yume_tpu.ops.quant_matmul import q4_dequant, q4_dot
+
+    w = rng_np.standard_normal((256, 128)).astype(np.float32) * 0.1
+    q4 = _quantize_leaf4(jnp.asarray(w), group=128)
+    x = jnp.asarray(rng_np.standard_normal((2, 16, 256)).astype(np.float32))
+
+    want = x @ q4_dequant(q4, jnp.float32)
+    got = q4_dot(x, q4, jnp.float32)
+    err = np.abs(np.asarray(got) - np.asarray(want)).max()
+    ref = np.abs(np.asarray(want)).max()
+    assert err < 0.02 * ref, (err, ref)
+
+    # exact case: activations that quantize losslessly
+    a_scale = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
+    x_exact = jnp.round(x / a_scale) * a_scale
+    got_e = q4_dot(x_exact, q4, jnp.float32)
+    want_e = x_exact @ q4_dequant(q4, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_int4_w8a8_trunk_close_to_dense(rng_np):
+    """int4 storage + w8a8 (= W4A8 direct in-kernel unpack) stays within
+    quantization distance of the bf16 dense forward — the 14B single-chip
+    serving trunk with no bf16 dequant round-trip."""
+    import dataclasses
+
+    cfg, dit, params, x, t, ctx, dense = _setup(rng_np, 256, 384, 4)
+    other, stacked = quantize_dit_blocks(params, cfg.num_layers, bits=4)
+    dit_w = WanDiT(dataclasses.replace(cfg, w8a8=True), dtype=jnp.float32)
+    out = int8_dit_apply(dit_w, other, stacked, x, t, ctx,
+                         latent_frame_zero=2, attn_impl="xla")
+    err = np.abs(np.asarray(out) - np.asarray(dense)).max()
+    ref = np.abs(np.asarray(dense)).max() + 1e-6
+    assert np.isfinite(np.asarray(out)).all()
+    assert err < 0.35 * ref, (err, ref)
+
+    # and the plain int4 (dequant) trunk agrees with the W4A8 one within
+    # activation-quant noise
+    out_dq = int8_dit_apply(dit, other, stacked, x, t, ctx,
+                            latent_frame_zero=2, attn_impl="xla")
+    rel = (np.abs(np.asarray(out) - np.asarray(out_dq)).max()
+           / (np.abs(np.asarray(out_dq)).max() + 1e-6))
+    assert rel < 0.25, rel

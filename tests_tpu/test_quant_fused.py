@@ -68,3 +68,40 @@ def test_int8_dot_general_fused_route():
     qw = jnp.clip(jnp.round(wf / ws), -127, 127).astype(jnp.int8)
     ref = np.asarray(jax.jit(_oracle)(x, qw, ws), np.float32)
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
+
+
+def _q4_oracle(x, q4):
+    """The q4_dot jnp composition, forced (CPU-identical math)."""
+    from yume_tpu.ops import quant_matmul as qm
+
+    a = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(a), axis=-1, keepdims=True),
+                    1e-8) / 127.0
+    qa = jnp.clip(jnp.round(a / s), -127, 127)
+    g_, half, n = q4.q.shape
+    grp = 2 * half
+    lo = (q4.q & 0xF).astype(jnp.int8) - 8
+    hi = (q4.q >> 4).astype(jnp.int8) - 8
+    wq = jnp.concatenate([lo, hi], axis=-2).astype(jnp.float32)
+    acc = jnp.zeros((*x.shape[:-1], n), jnp.float32)
+    for g in range(g_):
+        part = qa[..., g * grp:(g + 1) * grp] @ wq[g]
+        acc = acc + part * q4.scale[g]
+    return (acc * s).astype(x.dtype)
+
+
+@pytest.mark.parametrize("m,k,n", [(512, 5120, 512), (300, 13824, 256)])
+def test_w4a8_kernel_matches_oracle(m, k, n):
+    """The in-kernel int4-unpack W4A8 path (half-dots per group, exact s32,
+    f32 per-group rescale in the same order) must match the jnp oracle to
+    f32 noise."""
+    from yume_tpu.models.quantized import _quantize_leaf4
+    from yume_tpu.ops.quant_matmul import q4_dot
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.float32) * 0.05
+    q4 = _quantize_leaf4(w, group=128)
+
+    got = np.asarray(jax.jit(q4_dot)(x, q4), np.float32)
+    ref = np.asarray(jax.jit(_q4_oracle)(x, q4), np.float32)
+    np.testing.assert_allclose(got, ref, rtol=2e-6, atol=2e-5)

@@ -165,6 +165,9 @@ class QDense(nn.Module):
     Q8        True     stored int8 weights straight to the MXU — no
                        per-step dequantize→requantize round-trip
     Q8        False    dequantize, exact bf16 matmul (context-side k/v)
+    Q4        True     W4A8 direct: nibbles unpacked in-kernel, s8×s8 MXU
+                       with per-group rescale (quant_matmul.q4_dot)
+    Q4        False    dequantize, exact bf16 matmul
     ========  =======  =================================================
     """
 
@@ -174,9 +177,17 @@ class QDense(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(),
-            (jnp.shape(x)[-1], self.features), jnp.float32)
+        # Q4 kernels can't pass flax's param-shape check (their packed
+        # first leaf is not kernel-shaped, unlike Q8's) — read the raw
+        # variable directly when one is bound
+        raw = (self.scope.get_variable("params", "kernel")
+               if self.scope.has_variable("params", "kernel") else None)
+        if isinstance(raw, quant_matmul.Q4):
+            kernel = raw
+        else:
+            kernel = self.param(
+                "kernel", nn.initializers.lecun_normal(),
+                (jnp.shape(x)[-1], self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
         if isinstance(kernel, quant_matmul.Q8):
@@ -184,6 +195,11 @@ class QDense(nn.Module):
                 y = quant_matmul.q8_dot(x, kernel, self.dtype or x.dtype)
                 return y + bias.astype(y.dtype)
             kernel = quant_matmul.q8_dequant(kernel, self.dtype or x.dtype)
+        if isinstance(kernel, quant_matmul.Q4):
+            if self.w8a8:
+                y = quant_matmul.q4_dot(x, kernel, self.dtype or x.dtype)
+                return y + bias.astype(y.dtype)
+            kernel = quant_matmul.q4_dequant(kernel, self.dtype or x.dtype)
         x, kernel, bias = dtypes.promote_dtype(x, kernel, bias,
                                                dtype=self.dtype)
         dn = (((x.ndim - 1,), (0,)), ((), ()))
@@ -203,8 +219,13 @@ class ProjParams(nn.Module):
 
     @nn.compact
     def __call__(self, in_features):
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (in_features, self.features), jnp.float32)
+        raw = (self.scope.get_variable("params", "kernel")
+               if self.scope.has_variable("params", "kernel") else None)
+        if isinstance(raw, quant_matmul.Q4):  # see QDense
+            kernel = raw
+        else:
+            kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                (in_features, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
         return kernel, bias
@@ -238,8 +259,19 @@ def fused_sibling_dense(x, projs, w8a8=False, dtype=None):
                                 dtype or x.dtype)
         y = y + jnp.concatenate(biases).astype(y.dtype)
         return jnp.split(y, splits, axis=-1)
+    if w8a8 and all(isinstance(k, quant_matmul.Q4) for k in kernels):
+        # per output column the concat is exact: group scales concatenate
+        # along the output-channel axis like the Q8 case
+        wq = jnp.concatenate([k.q for k in kernels], axis=-1)
+        ws = jnp.concatenate([k.scale for k in kernels], axis=-1)
+        y = quant_matmul.q4_dot(x, quant_matmul.Q4(q=wq, scale=ws),
+                                dtype or x.dtype)
+        y = y + jnp.concatenate(biases).astype(y.dtype)
+        return jnp.split(y, splits, axis=-1)
     dense = [quant_matmul.q8_dequant(k, dtype or x.dtype)
-             if isinstance(k, quant_matmul.Q8) else k for k in kernels]
+             if isinstance(k, quant_matmul.Q8)
+             else quant_matmul.q4_dequant(k, dtype or x.dtype)
+             if isinstance(k, quant_matmul.Q4) else k for k in kernels]
     kcat = jnp.concatenate(dense, axis=-1)
     bcat = jnp.concatenate(biases)
     x, kcat, bcat = dtypes.promote_dtype(x, kcat, bcat, dtype=dtype)

@@ -50,8 +50,11 @@ def _quantize_leaf4(w: jax.Array, group: int = 128):
     scale = (a / 7.0).astype(jnp.float32)
     safe = jnp.where(scale > 0, scale, 1.0)
     qi = (jnp.clip(jnp.round(wg / safe), -7, 7) + 8).astype(jnp.uint8)
-    lo = qi[..., 0::2, :]
-    hi = qi[..., 1::2, :]
+    # halves packing: low nibble = group rows [0, g/2), high = [g/2, g) —
+    # the W4A8 kernel (ops/quant_matmul.py::q4_dot) then unpacks with two
+    # contiguous half-dots instead of a sublane interleave
+    lo = qi[..., : group // 2, :]
+    hi = qi[..., group // 2:, :]
     return Q4(q=lo | (hi << 4), scale=scale)
 
 
@@ -62,10 +65,9 @@ def _dequantize_leaf(leaf, dtype=jnp.bfloat16):
         q, scale = leaf.q, leaf.scale
         lo = (q & 0xF).astype(jnp.int8) - 8
         hi = (q >> 4).astype(jnp.int8) - 8
-        wg = jnp.stack([lo, hi], axis=-2)  # pairs → [..., G, g/2, 2, out]
-        *lead, g_, half, two, dout = wg.shape
-        wg = wg.reshape(*lead, g_, half * two, dout).astype(jnp.float32)
-        w = (wg * scale).reshape(*lead, g_ * half * two, dout)
+        wg = jnp.concatenate([lo, hi], axis=-2)  # halves → [..., G, g, out]
+        *lead, g_, grp, dout = wg.shape
+        w = (wg.astype(jnp.float32) * scale).reshape(*lead, g_ * grp, dout)
         return w.astype(dtype)
     return leaf
 
@@ -190,15 +192,16 @@ def int8_dit_apply(
     block = DiTBlock(dit.cfg)
     ctx, cos, sin = emb["ctx"], emb["cos"], emb["sin"]
 
-    # W8A8 direct path: when the block matmuls run int8 anyway, keep the
-    # stored Q8 structs intact — QDense (models/dit.py) feeds q/scale to the
-    # MXU directly, skipping the per-layer dequantize→requantize round-trip
-    # (Q4 and small leaves still dequantize: int4 grouping ≠ the MXU scheme).
-    keep_q8 = bool(getattr(dit.cfg, "w8a8", False))
+    # W8A8/W4A8 direct path: when the block matmuls run int8 anyway, keep
+    # the stored Q8/Q4 structs intact — QDense (models/dit.py) feeds them
+    # to the MXU directly (q8_dot / q4_dot), skipping the per-layer
+    # dequantize→requantize round-trip; weight HBM traffic drops to the
+    # stored bytes (int4: ¼ of bf16).
+    keep_q = bool(getattr(dit.cfg, "w8a8", False))
 
     def _dq(qslice):
         return jax.tree_util.tree_map(
-            lambda l: l if (keep_q8 and isinstance(l, Q8))
+            lambda l: l if (keep_q and isinstance(l, (Q8, Q4)))
             else _dequantize_leaf(l, dit.dtype), qslice,
             is_leaf=lambda l: isinstance(l, (Q8, Q4)))
 

@@ -83,7 +83,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "full DiT when the accumulated rel-L1 input delta "
                         "crosses this threshold (refreshes land where the "
                         "trajectory moves fast). Overrides "
-                        "--teacache_interval")
+                        "--teacache_interval. 0.1 is the quality-anchored "
+                        "best-serving config (37.8 dB at 8/50 full steps "
+                        "full-scale — docs/PERF.md round-5 sweep)")
     p.add_argument("--distilled", action="store_true",
                    help="few-step distilled serving for the 14B pipeline: "
                         "one cond-only forward per step (no CFG — guidance "

@@ -319,6 +319,7 @@ def _generate(req, args):
             latents, ctx, steps=steps, seed=seed + s_idx,
             sampler="teacache" if args.teacache else "euler",
             teacache_interval=args.teacache_interval,
+            teacache_threshold=args.teacache_threshold,
             progress_cb=None if args.teacache else on_step)
         if args.teacache:
             # the cached sampler has no per-step callback; report coarse
@@ -476,6 +477,10 @@ def build_argparser():
                         "(the bench.py best-serving config)")
     p.add_argument("--teacache_interval", type=int, default=3,
                    help="with --teacache: full DiT every N-th step")
+    p.add_argument("--teacache_threshold", type=float, default=None,
+                   help="with --teacache: adaptive rel-L1 refresh threshold "
+                        "(0.1 = the quality-anchored best-serving config; "
+                        "overrides --teacache_interval)")
     return p
 
 
