@@ -204,6 +204,23 @@ def test_t2v_dmd_teacher_rollout():
     teacher = TI2VPipeline.from_config(cfg, jax.random.PRNGKey(5),
                                        latent_shape=(3, 4, 4),
                                        dtype=jnp.float32)
+
+    # the zero-init head makes every model output v=0 regardless of params —
+    # the teacher-swap comparison would be vacuous; randomize each head with
+    # a DIFFERENT seed so the two param trees produce distinct trajectories
+    def _randomize_head(seed):
+        def fn(path, leaf):
+            names = [getattr(p, "key", "") for p in path]
+            if "head" in names and names[-1] == "kernel":
+                return jax.random.normal(jax.random.PRNGKey(seed),
+                                         leaf.shape, leaf.dtype) * 0.1
+            return leaf
+        return fn
+
+    pipe.dit_params = jax.tree_util.tree_map_with_path(
+        _randomize_head(7), pipe.dit_params)
+    teacher.dit_params = jax.tree_util.tree_map_with_path(
+        _randomize_head(11), teacher.dit_params)
     ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16))
 
     for solver in ("unipc", "dpmpp", "euler"):

@@ -11,7 +11,6 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from yume_tpu.configs import (CLIPConfig, CONFIGS, DiTConfig, PipelineConfig,
                               T5Config, VAEConfig)

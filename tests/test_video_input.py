@@ -40,7 +40,8 @@ def test_iter_video_samples_builds_vocab_caption(video_tree):
                               smoke=True, video_frames=5, prompt="fallback")
     out = list(iter_video_samples(args, (32, 32)))
     assert len(out) == 1
-    video, caption = out[0]
+    video, caption, name = out[0]
+    assert name  # per-clip output stem (globally unique across hosts)
     assert video.shape == (1, 5, 32, 32, 3)
     assert float(video.min()) >= -1.01 and float(video.max()) <= 1.01
     # the .txt control parses into the key/mouse vocab caption
