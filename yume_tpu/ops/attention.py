@@ -60,7 +60,10 @@ def attention(
     if callable(impl):
         return impl(q, k, v)
     if impl is None:
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        from .partitioning import auto_spmd
+
+        impl = ("pallas" if jax.default_backend() == "tpu"
+                and not auto_spmd() else "xla")
     if impl == "pallas":
         return flash_attention(q, k, v, kv_len=kv_len, scale=scale)
     if impl == "xla":

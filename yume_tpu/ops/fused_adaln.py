@@ -60,7 +60,9 @@ def _pick_bm(d_: int, base: int, quantum: int = 8) -> int:
 
 
 def _use_pallas(x, idx) -> bool:
-    if jax.default_backend() != "tpu":
+    from .partitioning import auto_spmd
+
+    if jax.default_backend() != "tpu" or auto_spmd():
         return False
     if x.ndim != 3 or x.shape[-1] % 128 != 0:
         return False
@@ -94,8 +96,8 @@ def _adaln_norm_kernel(x_ref, idx_ref, s_ref, b_ref, o_ref, *, eps, gate):
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
     n = (xf - mu) * jax.lax.rsqrt(var + eps)
-    s = _rows(idx_ref[...], s_ref[0])
-    b = _rows(idx_ref[...], b_ref[0])
+    s = _rows(idx_ref[0], s_ref[0])
+    b = _rows(idx_ref[0], b_ref[0])
     o_ref[0] = (n * (gate + s) + b).astype(o_ref.dtype)
 
 
@@ -121,18 +123,21 @@ def _adaln_norm_p(static, x, scale_tab, shift_tab, idx):
     k = scale_tab.shape[1]
     bm = _pick_bm(d_, _BM, quantum=128)
     grid = (b, pl.cdiv(l, bm))
+    # idx rides as [B, 1, L] so the block's trailing dims are (1, bm) against
+    # array dims (1, L) — a [B, L] (1, bm) block violates Mosaic's
+    # divisible-by-8-or-equal rule on the sublane dim whenever B > 1
     return pl.pallas_call(
         functools.partial(_adaln_norm_kernel, eps=eps, gate=gate),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bm, d_), lambda bi, i: (bi, i, 0)),
-            pl.BlockSpec((1, bm), lambda bi, i: (bi, i)),
+            pl.BlockSpec((1, 1, bm), lambda bi, i: (bi, 0, i)),
             pl.BlockSpec((1, k, d_), lambda bi, i: (bi, 0, 0)),
             pl.BlockSpec((1, k, d_), lambda bi, i: (bi, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, bm, d_), lambda bi, i: (bi, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, l, d_), out_dtype),
-    )(x, idx, scale_tab, shift_tab)
+    )(x, idx[:, None, :], scale_tab, shift_tab)
 
 
 def _adaln_norm_p_fwd(static, x, scale_tab, shift_tab, idx):
@@ -230,7 +235,10 @@ _rms_p.defvjp(_rms_p_fwd, _rms_p_bwd)
 def rms_norm(x, w, *, eps=1e-5):
     """fp32 RMSNorm with learned scale, one HBM pass (reference WanRMSNorm,
     models/dit.py::RMSNorm math, identical formulation)."""
-    if jax.default_backend() != "tpu" or x.ndim != 3 or x.shape[-1] % 128:
+    from .partitioning import auto_spmd
+
+    if (jax.default_backend() != "tpu" or auto_spmd() or x.ndim != 3
+            or x.shape[-1] % 128):
         return _rms_ref(x, w, eps)
     return _rms_p(eps, x, w)
 
@@ -243,7 +251,7 @@ def rms_norm(x, w, *, eps=1e-5):
 def _adaln_residual_kernel(x_ref, y_ref, idx_ref, s_ref, o_ref):
     xf = x_ref[0].astype(jnp.float32)
     yf = y_ref[0].astype(jnp.float32)
-    s = _rows(idx_ref[...], s_ref[0])
+    s = _rows(idx_ref[0], s_ref[0])
     o_ref[0] = (xf + yf * s).astype(o_ref.dtype)
 
 
@@ -261,18 +269,19 @@ def _adaln_residual_p(x, y, scale_tab, idx):
     k = scale_tab.shape[1]
     bm = _pick_bm(d_, 256, quantum=128)
     grid = (b, pl.cdiv(l, bm))
+    # idx as [B, 1, L] — see _adaln_norm_p (sublane-dim rule at B > 1)
     return pl.pallas_call(
         _adaln_residual_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bm, d_), lambda bi, i: (bi, i, 0)),
             pl.BlockSpec((1, bm, d_), lambda bi, i: (bi, i, 0)),
-            pl.BlockSpec((1, bm), lambda bi, i: (bi, i)),
+            pl.BlockSpec((1, 1, bm), lambda bi, i: (bi, 0, i)),
             pl.BlockSpec((1, k, d_), lambda bi, i: (bi, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, bm, d_), lambda bi, i: (bi, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, l, d_), x.dtype),
-    )(x, y, idx, scale_tab)
+    )(x, y, idx[:, None, :], scale_tab)
 
 
 def _adaln_residual_p_fwd(x, y, scale_tab, idx):
@@ -427,9 +436,11 @@ def qk_norm_rope(q, k, w_q, w_k, cos, sin, num_heads, *, eps=1e-5):
     identical to RMSNorm → apply_rope (ops/rope.py): fp32 throughout, one
     x.dtype round-trip between norm and rotation (as the module path has).
     """
+    from .partitioning import auto_spmd
+
     b, l, dim = q.shape
     d_ = dim // num_heads
-    if (jax.default_backend() != "tpu" or cos.ndim != 2
+    if (jax.default_backend() != "tpu" or auto_spmd() or cos.ndim != 2
             or d_ % 128 != 0 or b != 1):
         return _qk_norm_rope_ref(q, k, w_q, w_k, cos, sin, num_heads, eps)
     return _qk_norm_rope_p((num_heads, eps), q, k, w_q, w_k, cos, sin)

@@ -152,6 +152,14 @@ def main(argv=None):
     else:
         mesh = make_mesh(data=args.data_parallel, fsdp=-1, sp=args.sp)
     main_print(f"mesh: {dict(mesh.shape)} on {len(jax.devices())} devices")
+    # the dp/fsdp step is GSPMD-auto-partitioned (plain jit + sharding
+    # annotations) — Mosaic kernels can't be auto-partitioned, so they must
+    # trace as their jnp fallbacks (ops/partitioning.py). The --sp trunk is
+    # shard_map'd (local shapes) and keeps the Pallas kernels. Assign (not
+    # just set) so repeated main() calls in one process stay deterministic.
+    from .ops.partitioning import set_auto_spmd
+
+    set_auto_spmd(mesh.devices.size > 1 and args.sp <= 1)
 
     dtype = jnp.float32 if args.smoke else jnp.bfloat16
     dit = WanDiT(dit_cfg, dtype=dtype, remat=args.remat)
@@ -248,13 +256,19 @@ def main(argv=None):
             z_dim=dit_cfg.out_dim,
             dino_path=args.dino_path)
 
+        # donate the state trees: without aliasing, XLA keeps input AND
+        # output copies of params+EMA+moments — the round-5 AOT witness
+        # measured the un-donated 5B fsdp step at 19.8 GiB/chip peak vs
+        # 16 GB HBM (scripts/aot_memory_witness.py; docs/MEMORY.md)
         def _mk(keep):
             return jax.jit(make_distill_train_step(
-                fwd_apply, tc, disc, d_opt, packed=True, mvdt_keep=keep))
+                fwd_apply, tc, disc, d_opt, packed=True, mvdt_keep=keep),
+                donate_argnums=(0, 1))
     else:
         def _mk(keep):
             return jax.jit(make_train_step(fwd_apply, tc, packed=True,
-                                           mvdt_keep=keep))
+                                           mvdt_keep=keep),
+                           donate_argnums=(0,))
 
     if args.lora_rank:
         # parameter-efficient finetune: base frozen, only the adapter tree
@@ -270,7 +284,10 @@ def main(argv=None):
         main_print(f"LoRA rank {args.lora_rank}: "
                    f"{count_params(lora):,} trainable / "
                    f"{count_params(params):,} total params")
-        _lora_step = jax.jit(make_lora_train_step(dit.apply, tc, packed=True))
+        # donate the adapter state (arg 0); the frozen base (arg 1) is
+        # reused every step and must NOT be donated
+        _lora_step = jax.jit(make_lora_train_step(dit.apply, tc, packed=True),
+                             donate_argnums=(0,))
 
         def step_fn(st, batch_, rng_):
             return _lora_step(st, params, batch_, rng_)

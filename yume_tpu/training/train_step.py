@@ -74,11 +74,15 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 def init_train_state(params, cfg: TrainConfig) -> TrainState:
     opt = make_optimizer(cfg)
+    # EMA starts equal to params but must be a DISTINCT buffer tree: the
+    # train drivers donate the state (train.py), and donating the same
+    # buffer via two tree positions is an XLA error
+    ema = jax.tree_util.tree_map(lambda p: p + jnp.zeros((), p.dtype), params)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=opt.init(params),
-        ema_params=params,
+        ema_params=ema,
     )
 
 
