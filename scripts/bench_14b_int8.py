@@ -75,7 +75,7 @@ def main():
             return Q4(
                 q=jnp.full((n, din // group, group // 2, dout), 0x99,
                            jnp.uint8),  # nibbles 9 → (9-8)*scale
-                scale=jnp.full((n, din // group, 1, dout), 2e-3, jnp.float32))
+                scale=jnp.full((n, din // group, dout), 2e-3, jnp.float32))
         return jnp.full(shape, 0.02, jnp.bfloat16)
 
     stacked_q = jax.tree_util.tree_map(mk, blk)

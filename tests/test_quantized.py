@@ -231,11 +231,14 @@ def test_multistep_on_quantized_trunk(rng_np):
 
 
 def test_q4_dot_matches_group_dequant(rng_np):
-    """The W4A8 direct path (q4_dot jnp oracle) ≈ dequantize-then-matmul
-    within activation-quantization noise, and is EXACT when activations are
-    already scaled int multiples."""
+    """The W4A8 path (q4_dot = Q4→Q8 relay + s8 dot) ≈ dequantize-then-
+    matmul within activation + weight-regrid noise; the regrid noise alone
+    is bounded by half an int8 step of the channel grid (~25 dB below the
+    int4 step); and q4_dot is EXACT vs the relayed-int8 weights when
+    activations quantize losslessly."""
     from yume_tpu.models.quantized import _quantize_leaf4
-    from yume_tpu.ops.quant_matmul import q4_dequant, q4_dot
+    from yume_tpu.ops.quant_matmul import (q4_dequant, q4_dot, q4_to_q8,
+                                           q8_dequant)
 
     w = rng_np.standard_normal((256, 128)).astype(np.float32) * 0.1
     q4 = _quantize_leaf4(jnp.asarray(w), group=128)
@@ -247,11 +250,19 @@ def test_q4_dot_matches_group_dequant(rng_np):
     ref = np.abs(np.asarray(want)).max()
     assert err < 0.02 * ref, (err, ref)
 
-    # exact case: activations that quantize losslessly
+    # weight-regrid noise bound: |relay(w) − w| ≤ ½ int8 step of the
+    # channel grid = 4·max_g scale_g / 127 (q4_to_q8 docstring)
+    w4 = np.asarray(q4_dequant(q4, jnp.float32))
+    w8 = np.asarray(q8_dequant(q4_to_q8(q4), jnp.float32))
+    bound = np.asarray(q4.scale).max(axis=0) * 4.0 / 127.0 + 1e-7
+    assert (np.abs(w8 - w4) <= bound[None, :]).all()
+
+    # exact case vs the relayed weights: activations that quantize
+    # losslessly make the s8 composition exact
     a_scale = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
     x_exact = jnp.round(x / a_scale) * a_scale
     got_e = q4_dot(x_exact, q4, jnp.float32)
-    want_e = x_exact @ q4_dequant(q4, jnp.float32)
+    want_e = x_exact @ jnp.asarray(w8)
     np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
                                atol=1e-4, rtol=1e-4)
 

@@ -71,30 +71,23 @@ def test_int8_dot_general_fused_route():
 
 
 def _q4_oracle(x, q4):
-    """The q4_dot jnp composition, forced (CPU-identical math)."""
-    from yume_tpu.ops import quant_matmul as qm
+    """The q4_dot relay composition with a plain f32 matmul (CPU-identical
+    math: s8×s8 partial sums are < 2^24, exact in f32)."""
+    from yume_tpu.ops.quant_matmul import q4_to_q8
 
+    q8 = q4_to_q8(q4)
     a = x.astype(jnp.float32)
     s = jnp.maximum(jnp.max(jnp.abs(a), axis=-1, keepdims=True),
                     1e-8) / 127.0
     qa = jnp.clip(jnp.round(a / s), -127, 127)
-    g_, half, n = q4.q.shape
-    grp = 2 * half
-    lo = (q4.q & 0xF).astype(jnp.int8) - 8
-    hi = (q4.q >> 4).astype(jnp.int8) - 8
-    wq = jnp.concatenate([lo, hi], axis=-2).astype(jnp.float32)
-    acc = jnp.zeros((*x.shape[:-1], n), jnp.float32)
-    for g in range(g_):
-        part = qa[..., g * grp:(g + 1) * grp] @ wq[g]
-        acc = acc + part * q4.scale[g]
-    return (acc * s).astype(x.dtype)
+    acc = qa @ q8.q.astype(jnp.float32)
+    return (acc * s * q8.scale).astype(x.dtype)
 
 
 @pytest.mark.parametrize("m,k,n", [(512, 5120, 512), (300, 13824, 256)])
 def test_w4a8_kernel_matches_oracle(m, k, n):
-    """The in-kernel int4-unpack W4A8 path (half-dots per group, exact s32,
-    f32 per-group rescale in the same order) must match the jnp oracle to
-    f32 noise."""
+    """The W4A8 path (Q4→Q8 relay + s8×s8 MXU dot, fused Pallas at
+    K ≥ 8192) must match the jnp relay oracle to f32 noise."""
     from yume_tpu.models.quantized import _quantize_leaf4
     from yume_tpu.ops.quant_matmul import q4_dot
 

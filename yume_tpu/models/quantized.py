@@ -46,9 +46,13 @@ def _quantize_leaf4(w: jax.Array, group: int = 128):
     if din % group or group % 2:
         return _quantize_leaf(w)  # int8 fallback for odd shapes
     wg = w.reshape(*lead, din // group, group, dout)
-    a = jnp.abs(wg).max(axis=-2, keepdims=True)
+    # scale is [..., G, out] with NO size-1 group axis: a trailing (1, out)
+    # pair tiles to (8, out) on TPU (T(8,128) layout) — 8× padding that at
+    # 14B scale (40 stacked layers) cost >1 GiB of pure pad plus 100 MB
+    # remat-uncompressed HLO-temp copies per scale stack (round-5 OOM)
+    a = jnp.abs(wg).max(axis=-2)
     scale = (a / 7.0).astype(jnp.float32)
-    safe = jnp.where(scale > 0, scale, 1.0)
+    safe = jnp.where(scale > 0, scale, 1.0)[..., :, None, :]
     qi = (jnp.clip(jnp.round(wg / safe), -7, 7) + 8).astype(jnp.uint8)
     # halves packing: low nibble = group rows [0, g/2), high = [g/2, g) —
     # the W4A8 kernel (ops/quant_matmul.py::q4_dot) then unpacks with two
@@ -67,7 +71,8 @@ def _dequantize_leaf(leaf, dtype=jnp.bfloat16):
         hi = (q >> 4).astype(jnp.int8) - 8
         wg = jnp.concatenate([lo, hi], axis=-2)  # halves → [..., G, g, out]
         *lead, g_, grp, dout = wg.shape
-        w = (wg.astype(jnp.float32) * scale).reshape(*lead, g_ * grp, dout)
+        w = (wg.astype(jnp.float32)
+             * scale[..., :, None, :]).reshape(*lead, g_ * grp, dout)
         return w.astype(dtype)
     return leaf
 

@@ -41,7 +41,8 @@ class Q4:
     the input dim): w ≈ (unpack(q) - 8) * scale, one fp32 scale per
     (input-group × output-channel)."""
     q: jax.Array       # uint8 [..., in/group, group/2, out]
-    scale: jax.Array   # fp32 [..., in/group, 1, out]
+    scale: jax.Array   # fp32 [..., in/group, out] (no size-1 axis: a
+    #                    trailing (1, out) pair pads 8× under TPU tiling)
 
 
 def _fused_kernel(x_ref, ascale_ref, qw_ref, wscale_ref, o_ref, acc_ref, *,
@@ -149,108 +150,59 @@ def q8_dot(x, w: Q8, dtype=None):
     return out.astype(dtype if dtype is not None else x.dtype)
 
 
-_Q4_GROUP = 128          # rows per scale group (models/quantized.py)
-_Q4_GPS = 4              # groups per kernel k-step (BK = 512)
+def q4_to_q8(w: Q4) -> Q8:
+    """Relay the group-wise int4 storage onto the per-channel int8 grid.
 
+    The per-channel scale comes from the group scales ALONE (no weight
+    pass): dequantized values are ``(q−8)·scale_g`` with ``|q−8| ≤ 8``, so
+    the channel absmax is bounded by ``8·max_g scale_g``. Requantizing the
+    int4 grid onto that 127-step grid adds noise ≤ ``4·max_g scale/127``
+    per weight — ~25 dB below the int4 quantization step itself (pinned by
+    tests/test_quantized.py), invisible next to the trunk's int4 noise.
 
-def _w4a8_kernel(x_ref, ascale_ref, q4_ref, wscale_ref, o_ref, acc_ref, *,
-                 nk):
-    """W4A8 body: quantize the activation block in VMEM, unpack the int4
-    halves-packed weights (low nibble = group rows [0,64), high = [64,128))
-    and feed the MXU s8×s8→s32 per group, rescaling by that group's fp32
-    weight scale — the int4 bytes are the ONLY weight HBM traffic."""
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    s = ascale_ref[...].astype(jnp.float32)  # [bm, 1]
-    xq = jnp.clip(jnp.round(x_ref[...].astype(jnp.float32) / s),
-                  -127, 127).astype(jnp.int8)
-    q = q4_ref[...]                          # [gps·64, bn] uint8
-    wsc = wscale_ref[...].astype(jnp.float32)  # [gps, bn]
-    half = _Q4_GROUP // 2
-    for g in range(_Q4_GPS):
-        qg = q[g * half:(g + 1) * half]
-        lo = (qg & 0xF).astype(jnp.int8) - 8
-        hi = (qg >> 4).astype(jnp.int8) - 8
-        xg = xq[:, g * _Q4_GROUP:(g + 1) * _Q4_GROUP]
-        part = jax.lax.dot_general(
-            xg[:, :half], lo, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        part += jax.lax.dot_general(
-            xg[:, half:], hi, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        acc_ref[...] += part.astype(jnp.float32) * wsc[g][None, :]
-
-    @pl.when(k == nk - 1)
-    def _done():
-        o_ref[...] = (acc_ref[...] * s).astype(o_ref.dtype)
+    Why a relay instead of a bespoke W4A8 kernel: the per-(group×channel)
+    scales force either K=64 half-dots (measured 97–110 TF/s — shallow-K
+    MXU passes) or this one-time regrid; after the regrid the matmul is a
+    plain per-channel s8×s8 dot that runs at the stored-Q8 path's measured
+    129–163 TF/s end-to-end (scripts/bench_w4a8.py), and K ≥ 8192 shapes
+    keep the fused Pallas activation-quantize path for free. XLA fuses the
+    unpack+regrid into the scan body; weight HBM traffic per layer is the
+    int4 bytes in + int8 bytes out (⅜ of a bf16 dequant round-trip).
+    """
+    # bit math in i32: Mosaic/XLA-TPU have no i8/u8 subi or shrui lowering
+    qi = w.q.astype(jnp.int32)
+    lo = (qi & 0xF) - 8
+    hi = (qi >> 4) - 8
+    wg = jnp.concatenate([lo, hi], axis=-2).astype(jnp.float32)  # [G, g, N]
+    s_chan = jnp.max(w.scale * 8.0, axis=-2, keepdims=True) / 127.0  # [1,N]
+    wq = jnp.clip(
+        jnp.round(wg * (w.scale[..., :, None, :] / s_chan[..., None, :])),
+        -127, 127).astype(jnp.int8)
+    *lead, g_, grp, n_dim = wq.shape
+    return Q8(q=wq.reshape(*lead, g_ * grp, n_dim), scale=s_chan)
 
 
 def q4_dot(x, w: Q4, dtype=None):
-    """``x @ dequant(w)`` with the STORED int4 weights unpacked in-kernel
-    (W4A8 direct path for the int4-storage 14B trunk).
+    """``x @ dequant(w)`` from STORED int4 weights via the Q4→Q8 relay
+    (the W4A8 path for the int4-storage 14B trunk).
 
-    The previous int4 path dequantized each block to bf16 in the scan body
-    (a weight-sized bf16 HBM write + read per layer per step) and then —
-    under w8a8 — re-quantized activations AND weights to int8. Here the
-    packed nibbles go straight to VMEM, the per-(group×channel) fp32 scales
-    rescale the exact s32 group dots, and activations quantize per-row once
-    per block: weight HBM traffic is the int4 bytes, matmuls run at the
-    MXU's s8×s8 rate.
-
-    The jnp composition below is the bit-exact oracle (same rounding, same
-    per-group f32 accumulation order — group partial sums are < 2^24 so
-    the f32 fallback matmul is exact); the Pallas path must match it.
+    Weights regrid group-int4 → per-channel int8 (:func:`q4_to_q8`, noise
+    ~25 dB under the int4 floor), activations quantize per-row, and the
+    matmul runs s8×s8 on the MXU through :func:`q8_dot` — identical math
+    on every backend (the TPU fused path is pinned against the jnp
+    composition by tests_tpu/test_quant_fused.py).
     """
-    gps = _Q4_GPS
-    *lead_w, g_, half, n_dim = w.q.shape
-    grp = 2 * half
-    k_dim = g_ * grp
+    q8 = q4_to_q8(w)
+    if w.q.ndim == 3:  # unstacked [G, g/2, N] kernel → 2D relay
+        return q8_dot(x, q8, dtype)
+    # stacked/leading dims: per-row activation quant + broadcast matmul
     a = x.astype(jnp.float32)
     a_scale = jnp.maximum(jnp.max(jnp.abs(a), axis=-1, keepdims=True),
                           1e-8) / 127.0
-    out_dtype = dtype if dtype is not None else x.dtype
-    if (jax.default_backend() == "tpu" and not lead_w
-            and grp == _Q4_GROUP and g_ % gps == 0 and n_dim % 128 == 0
-            and x.shape[:-1] != () and k_dim == x.shape[-1]):
-        x2 = x.reshape(-1, k_dim)
-        m = x2.shape[0]
-        nk = g_ // gps
-        q2 = w.q.reshape(g_ * half, n_dim)       # [K/2, N] halves-packed
-        wsc = w.scale.reshape(g_, n_dim)         # [G, N]
-        out = pl.pallas_call(
-            functools.partial(_w4a8_kernel, nk=nk),
-            grid=(pl.cdiv(m, _FUSED_BM), pl.cdiv(n_dim, _FUSED_BN), nk),
-            in_specs=[
-                pl.BlockSpec((_FUSED_BM, gps * grp),
-                             lambda i, j, kk: (i, kk)),
-                pl.BlockSpec((_FUSED_BM, 1), lambda i, j, kk: (i, 0)),
-                pl.BlockSpec((gps * half, _FUSED_BN),
-                             lambda i, j, kk: (kk, j)),
-                pl.BlockSpec((gps, _FUSED_BN), lambda i, j, kk: (kk, j)),
-            ],
-            out_specs=pl.BlockSpec((_FUSED_BM, _FUSED_BN),
-                                   lambda i, j, kk: (i, j)),
-            out_shape=jax.ShapeDtypeStruct((m, n_dim), out_dtype),
-            scratch_shapes=[pltpu.VMEM((_FUSED_BM, _FUSED_BN), jnp.float32)],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary")),
-        )(x2, a_scale.reshape(-1, 1).astype(jnp.float32), q2, wsc)
-        return out.reshape(*x.shape[:-1], n_dim)
-
-    # exact jnp oracle: same rounding, same per-group accumulation order
     qa = jnp.clip(jnp.round(a / a_scale), -127, 127)
-    lo = (w.q & 0xF).astype(jnp.int8) - 8
-    hi = (w.q >> 4).astype(jnp.int8) - 8
-    wq = jnp.concatenate([lo, hi], axis=-2).astype(jnp.float32)  # [G, g, N]
-    acc = jnp.zeros((*x.shape[:-1], n_dim), jnp.float32)
-    for g in range(g_):
-        part = qa[..., g * grp:(g + 1) * grp] @ wq[..., g, :, :]
-        acc = acc + part * w.scale[..., g, :, :]
-    return (acc * a_scale).astype(out_dtype)
+    acc = qa @ q8.q.astype(jnp.float32)
+    out = acc * a_scale * q8.scale
+    return out.astype(dtype if dtype is not None else x.dtype)
 
 
 def q8_dequant(w: Q8, dtype=jnp.bfloat16):
@@ -265,7 +217,8 @@ def q4_dequant(w: Q4, dtype=jnp.bfloat16):
     hi = (w.q >> 4).astype(jnp.int8) - 8
     wg = jnp.concatenate([lo, hi], axis=-2)      # [..., G, g, N]
     *lead, g_, grp, n = wg.shape
-    out = (wg.astype(jnp.float32) * w.scale).reshape(*lead, g_ * grp, n)
+    out = (wg.astype(jnp.float32)
+           * w.scale[..., :, None, :]).reshape(*lead, g_ * grp, n)
     return out.astype(dtype)
 
 
