@@ -357,13 +357,18 @@ def bench_14b_serving():
 
     # distilled 4-step serving (--distilled, cond-only): TeaCache interval 3
     # over 4 steps = 2 full + 2 cached forwards; the 50-step config = 17
-    # full + 33 cached (the sampler's 1 full : 2 cached schedule)
+    # full + 33 cached (the sampler's 1 full : 2 cached schedule). The
+    # adaptive row composes at the 5B-MEASURED 8/50 refresh rate (threshold
+    # 0.1, docs/PERF.md round-5 sweep) — "_est" because the realized count
+    # is data-dependent and the rate is transferred from the 5B ladder
     n_full_50 = -(-50 // 3)
     return {
         "sec_per_2s_540p_14b_segment_distilled4_w8a8_teacache":
             round(2 * t_full + 2 * t_cached, 3),
         "sec_per_2s_540p_14b_segment_50step_w8a8_teacache":
             round(n_full_50 * t_full + (50 - n_full_50) * t_cached, 3),
+        "sec_per_2s_540p_14b_segment_50step_w8a8_adaptive_est":
+            round(8 * t_full + 42 * t_cached, 3),
         "dit_14b_w8a8_full_step_s": round(t_full, 3),
         "dit_14b_w8a8_cached_step_s": round(t_cached, 3),
     }
